@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""LSQ flagship demo: OPQ -> ChainQ -> LSQ init chain, ILS base encoding,
+norm quantization, additive-ADC query, recall@N.
+
+TPU-native equivalent of /root/reference/demos/demo_lsq.jl (and of
+demo_lsq_gpu.jl — the batched ILS encoder *is* the accelerator path here).
+Falls back to a synthetic corpus when SIFT1M is not on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from local_search_quantization_tpu.models import train_chainq, train_lsq, train_opq
+from local_search_quantization_tpu.ops import adc, costs, icm, norms
+from local_search_quantization_tpu.utils.config import ChainQConfig, LSQConfig, OPQConfig
+from local_search_quantization_tpu.utils.eval import eval_recall
+from local_search_quantization_tpu.utils.io import dataset_available, read_dataset
+from local_search_quantization_tpu.utils.synth import random_codes, synthetic_dataset
+
+
+def load_data(args):
+    if args.dataset != "synthetic" and dataset_available(args.dataset):
+        x_train = read_dataset(args.dataset, args.ntrain).astype(np.float32)
+        x_base = read_dataset(args.dataset + "_base", args.nbase).astype(np.float32)
+        x_query = read_dataset(args.dataset + "_query", args.nquery).astype(np.float32)
+        gt = read_dataset(args.dataset + "_groundtruth", args.nquery)[:, 0]
+        return x_train, x_base, x_query, gt
+    print(f"[demo] dataset {args.dataset} not found on disk; using synthetic data")
+    d = synthetic_dataset(0, d=64, n_train=args.ntrain,
+                          n_base=min(args.nbase, 100_000),
+                          n_query=min(args.nquery, 1000))
+    return d.train, d.base, d.query, d.gt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="SIFT1M")
+    ap.add_argument("--ntrain", type=int, default=10_000)
+    ap.add_argument("--nbase", type=int, default=1_000_000)
+    ap.add_argument("--nquery", type=int, default=10_000)
+    ap.add_argument("--m", type=int, default=7)  # m codebooks + 1 norm byte
+    ap.add_argument("--h", type=int, default=256)
+    ap.add_argument("--niter", type=int, default=10)
+    ap.add_argument("--ilsiter-base", type=int, default=16)  # LSQ-16
+    ap.add_argument("--knn", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    x_train, x_base, x_query, gt = load_data(args)
+    m, h = args.m, args.h
+
+    # === OPQ initialization ===
+    t = time.time()
+    opq = train_opq(x_train, OPQConfig(m=m, h=h, niter=args.niter, seed=args.seed))
+    print(f"Error after OPQ is {float(opq.obj[-1]):e}  ({time.time()-t:.1f}s)")
+
+    # === ChainQ initialization ===
+    t = time.time()
+    chain = train_chainq(
+        x_train, opq.B, opq.R, ChainQConfig(m=m, h=h, niter=args.niter)
+    )
+    print(f"Error after ChainQ is {float(chain.obj[-1]):e}  ({time.time()-t:.1f}s)")
+
+    # === LSQ train ===
+    t = time.time()
+    lsq_cfg = LSQConfig(m=m, h=h, niter=args.niter, seed=args.seed)
+    lsq = train_lsq(x_train, chain.B, chain.R, lsq_cfg, verbose=True)
+    print(f"Error after LSQ is {float(lsq.obj[-1]):e}  ({time.time()-t:.1f}s)")
+
+    # === Encode the base set (LSQ-16) ===
+    t = time.time()
+    B0 = random_codes(args.seed, x_base.shape[0], m, h)
+    enc = icm.encode_chunked(
+        jax.random.PRNGKey(args.seed + 1), x_base, B0, lsq.C,
+        ilsiter=args.ilsiter_base, icmiter=lsq_cfg.icmiter,
+        npert=lsq_cfg.npert, randord=lsq_cfg.randord,
+    )
+    dt = time.time() - t
+    print(f"Base encoding: {x_base.shape[0] / dt:.0f} vec/s  ({dt:.1f}s)")
+    base_error = float(np.mean(enc.cost))
+    print(f"Error in base is {base_error:e}")
+
+    # === Quantize database norms ===
+    bnorm_codes = np.asarray(norms.quantize_norms(enc.B, lsq.C, lsq.cbnorms))
+    db_norms = np.asarray(lsq.cbnorms)[bnorm_codes]
+
+    # === Query + recall ===
+    t = time.time()
+    res = adc.linscan_lsq(enc.B, x_query, lsq.C, db_norms, k=args.knn)
+    print(f"Queried {x_query.shape[0]} queries in {time.time()-t:.1f}s")
+    eval_recall(gt, res.ids, args.knn)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Asymmetric-distance (ADC) lookup-table kNN query engines.
+
+TPU-native replacement for the reference's OpenMP C++ scanners
+(/root/reference/src/linscan/cpp/linscan_aqd.cpp:37-102 for PQ/OPQ,
+linscan_aqd_pairwise_byte.cpp:14-93 for additive codes + norms). The per-query
+LUT build becomes one batched einsum; the code scan becomes [nq, nb] table
+gathers accumulated over codebooks; `partial_sort` becomes `lax.top_k` with a
+streaming merge over base chunks (the analog of the C++ scanners' 1e7-entry
+buffering). Indices are returned 0-based.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class KNNResult(NamedTuple):
+    dists: Array  # [nq, k] ascending estimated (squared) distances
+    ids: Array  # [nq, k] int32, 0-based base indices
+
+
+def pq_query_luts(Q: Array, C_sub: Array) -> Array:
+    """Per-query subspace distance tables for PQ/OPQ codes.
+
+    luts[q, i, c] = || q_sub_i - C_sub[i, c] ||^2.  Q: [nq, d] -> [nq, m, h].
+    C_sub uses the zero-padded subspace layout (ops/subspaces.py), so padded
+    dims contribute (0-0)^2 = 0. (Reference LUT build: linscan_aqd.cpp:66-74.)
+    """
+    from local_search_quantization_tpu.ops.subspaces import split_subspaces
+
+    m, h, ds = C_sub.shape
+    Qs = jnp.moveaxis(split_subspaces(Q, m), 0, 1)  # [nq, m, ds]
+    cross = jnp.einsum(
+        "qis,ihs->qih",
+        Qs,
+        C_sub,
+        preferred_element_type=jnp.float32,
+        precision="highest",
+    )
+    qsq = jnp.sum(Qs * Qs, axis=-1, dtype=jnp.float32)  # [nq, m]
+    csq = jnp.sum(C_sub * C_sub, axis=-1, dtype=jnp.float32)  # [m, h]
+    return qsq[:, :, None] - 2.0 * cross + csq[None, :, :]
+
+
+def lsq_query_luts(Q: Array, C: Array) -> Array:
+    """Inner-product tables for additive (full-dimensional) codes.
+
+    luts[q, i, c] = -2 * q . C[i, c].  Q: [nq, d], C: [m, h, d] -> [nq, m, h].
+    (Reference: linscan_aqd_pairwise_byte.cpp:42-48.)
+    """
+    return -2.0 * jnp.einsum(
+        "qd,ihd->qih", Q, C, preferred_element_type=jnp.float32, precision="highest"
+    )
+
+
+def lut_scan_block(luts: Array, B_block: Array, extra: Array | None = None) -> Array:
+    """Sum LUT entries for one base block: [nq, m, h] x [nb, m] -> [nq, nb].
+
+    extra: optional [nb] additive term (quantized database norms for the
+    additive-code scanner).
+    """
+    m = B_block.shape[1]
+
+    def body(i, acc):
+        # luts[:, i, :] is [nq, h]; gather columns by this codebook's codes.
+        return acc + jnp.take(luts[:, i, :], B_block[:, i], axis=1)
+
+    acc0 = jnp.zeros((luts.shape[0], B_block.shape[0]), jnp.float32)
+    acc = jax.lax.fori_loop(0, m, body, acc0)
+    if extra is not None:
+        acc = acc + extra[None, :]
+    return acc
+
+
+@partial(jax.jit, static_argnames=("k", "block"))
+def _scan_topk(
+    luts: Array, B: Array, extra: Array | None, k: int, block: int
+) -> KNNResult:
+    """Streaming top-k ADC scan of the full base set for one query chunk.
+
+    `lax.scan` over base blocks; each step computes the [nq, block] distance
+    tile and merges it into the running top-k (negated so lax.top_k's
+    "largest" semantics give smallest distances).
+    """
+    nq = luts.shape[0]
+    n = B.shape[0]
+    nblocks = n // block
+    Bb = B.reshape(nblocks, block, B.shape[1])
+    extrab = (
+        extra.reshape(nblocks, block)
+        if extra is not None
+        else jnp.zeros((nblocks, 0), jnp.float32)
+    )
+
+    def step(carry, inp):
+        best_nd, best_id = carry  # [nq, k] negated dists, ids
+        bi, (Bblk, eblk) = inp
+        tile = lut_scan_block(luts, Bblk, eblk if extra is not None else None)
+        ids = bi * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+        cand_nd = jnp.concatenate([best_nd, -tile], axis=1)
+        cand_id = jnp.concatenate(
+            [best_id, jnp.broadcast_to(ids, (nq, block))], axis=1
+        )
+        nd, pos = jax.lax.top_k(cand_nd, k)
+        return (nd, jnp.take_along_axis(cand_id, pos, axis=1)), None
+
+    init = (
+        jnp.full((nq, k), -jnp.inf, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
+    )
+    idxs = jnp.arange(nblocks, dtype=jnp.int32)
+    (nd, ids), _ = jax.lax.scan(step, init, (idxs, (Bb, extrab)))
+    return KNNResult(-nd, ids)
+
+
+def _run_scan(
+    luts_fn,
+    Q,
+    B,
+    *,
+    k: int,
+    extra=None,
+    query_chunk: int = 256,
+    base_block: int = 1 << 16,
+) -> KNNResult:
+    """Driver: chunk queries on host, pad base to a block multiple, scan."""
+    Q = np.asarray(Q)
+    B = np.asarray(B)
+    n = B.shape[0]
+    k = min(k, n)
+    pad = (-n) % base_block
+    if pad:
+        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
+        extra_p = (
+            np.concatenate([np.asarray(extra), np.full(pad, np.inf, np.float32)])
+            if extra is not None
+            else None
+        )
+    else:
+        extra_p = np.asarray(extra) if extra is not None else None
+    if extra_p is None and pad:
+        # Padded rows must never win: give them +inf via the extra term.
+        extra_p = np.concatenate(
+            [np.zeros(n, np.float32), np.full(pad, np.inf, np.float32)]
+        )
+    Bj = jnp.asarray(B)
+    extraj = jnp.asarray(extra_p) if extra_p is not None else None
+
+    out_d, out_i = [], []
+    for start in range(0, Q.shape[0], query_chunk):
+        qc = Q[start : start + query_chunk]
+        npad = query_chunk - qc.shape[0]
+        if npad:
+            qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
+        luts = luts_fn(jnp.asarray(qc))
+        res = _scan_topk(luts, Bj, extraj, k, base_block)
+        out_d.append(np.asarray(res.dists)[: query_chunk - npad])
+        out_i.append(np.asarray(res.ids)[: query_chunk - npad])
+    return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
+
+
+def linscan_pq(
+    B: Array, Q: Array, C_sub: Array, k: int = 10000, **kw
+) -> KNNResult:
+    """ADC kNN for PQ codes. B: [n, m] codes, Q: [nq, d], C_sub: [m, h, ds].
+
+    (Reference: linscan_pq, Linscan.jl:5-27 -> linscan_aqd.cpp.)
+    """
+    return _run_scan(lambda q: pq_query_luts(q, C_sub), Q, B, k=k, **kw)
+
+
+def linscan_opq(
+    B: Array, Q: Array, C_sub: Array, R: Array, k: int = 10000, **kw
+) -> KNNResult:
+    """ADC kNN for OPQ codes: rotate queries into code space, then PQ scan.
+
+    With row-major data the reference's `R' * X` (Linscan.jl:30-43) is Q @ R.
+    """
+    QR = np.asarray(Q) @ np.asarray(R)
+    return linscan_pq(B, QR, C_sub, k, **kw)
+
+
+def linscan_lsq(
+    B: Array,
+    Q: Array,
+    C: Array,
+    db_norms: Array,
+    k: int = 10000,
+    R: Array | None = None,
+    **kw,
+) -> KNNResult:
+    """ADC kNN for additive codes with separately-quantized norms.
+
+    dist[q, n] = -2 sum_i q.C[i, B[n, i]] + ||recon_n||^2 — a rank-respecting
+    surrogate of the true squared distance (the ||q||^2 term is constant per
+    query). db_norms: [n] float32 quantized reconstruction norms.
+    (Reference: linscan_lsq, Linscan.jl:46-73 -> linscan_aqd_pairwise_byte.cpp.)
+    """
+    Qr = np.asarray(Q) @ np.asarray(R) if R is not None else Q
+    return _run_scan(
+        lambda q: lsq_query_luts(q, C), Qr, B, k=k, extra=np.asarray(db_norms), **kw
+    )

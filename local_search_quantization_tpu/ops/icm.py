@@ -1,0 +1,215 @@
+"""Batched iterated-local-search (ILS) + iterated conditional modes (ICM) encoder.
+
+TPU-native replacement for both the reference's CPU encoder
+(/root/reference/src/encodings/encode_icm.jl:4-189) and its CUDA encoder
+(/root/reference/src/encodings/encode_icm_cuda.jl, cudautils.cu). The
+reference processes one vector per CPU iteration / CUDA block; here every step
+is a whole-batch tensor op:
+
+- perturbation: `npert` distinct codebooks per vector re-randomized, via
+  counter-based `jax.random` (replaces curand reservoir sampling,
+  cudautils.cu:27-80);
+- ICM conditioning: `unaries[:, j] + sum_{k!=j} binaries[j, k][B[:, k], :]`
+  as [n, h] row-gathers from [h, h] LUTs, then an argmin over h
+  (replaces condition_icm3's shared-memory tree reduction,
+  cudautils.cu:236-339);
+- accept-if-better: exact per-vector `jnp.where` on the squared cost, the
+  invariant that makes the encoding objective non-increasing
+  (encode_icm.jl:177-186).
+
+The whole ILS loop is one compiled XLA program (`lax.scan` over ILS
+iterations). See `icm_pallas.py` for the fused-VMEM kernel variant of the
+conditioning step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from local_search_quantization_tpu.ops.costs import veccost
+from local_search_quantization_tpu.ops.luts import get_binaries, get_unaries
+
+Array = jax.Array
+
+
+class ILSResult(NamedTuple):
+    B: Array  # [n, m] int32 codes
+    cost: Array  # [n] float32 per-vector squared error
+
+
+def perturb_codes(key: Array, B: Array, npert: int, h: int) -> Array:
+    """Re-randomize `npert` distinct codebook entries of each vector's code.
+
+    Matches the reference's per-vector `sample(1:m, npert, replace=false)` +
+    uniform new codes (encode_icm.jl:56-70). Distinct positions are drawn by
+    ranking iid uniforms per row — an argsort over m<=16 lanes, negligible.
+    """
+    n, m = B.shape
+    if npert <= 0:
+        return B
+    kpos, kval = jax.random.split(key)
+    ranks = jnp.argsort(
+        jax.random.uniform(kpos, (n, m)), axis=-1
+    )  # ranks[:, :npert] = positions
+    mask = jnp.zeros((n, m), jnp.bool_).at[
+        jnp.arange(n)[:, None], ranks[:, :npert]
+    ].set(True)
+    vals = jax.random.randint(kval, (n, m), 0, h, dtype=B.dtype)
+    return jnp.where(mask, vals, B)
+
+
+def _condition(
+    unaries_j: Array, binaries_to_j: Array, B: Array, j: Array
+) -> Array:
+    """Absorb all pairwise terms into the unary of codebook j.
+
+    The pairwise cost of candidate code c for codebook j given codebook k's
+    current code b_k is binaries[k, j][b_k, c], so conditioning is a row
+    gather from the (k, j) table — [n] indices into an [h, h] LUT.
+
+    Args:
+      unaries_j: [n, h] unary LUT for codebook j.
+      binaries_to_j: [m, h, h] pairwise LUTs binaries[:, j] (source k -> j).
+      B: [n, m] current codes.
+      j: the codebook being updated (traced scalar).
+
+    Returns:
+      [n, h] conditioned scores.
+    """
+    m = B.shape[1]
+
+    def body(k, acc):
+        rows = jnp.take(binaries_to_j[k], B[:, k], axis=0)  # [n, h]
+        return acc + jnp.where(k == j, 0.0, 1.0) * rows
+
+    return jax.lax.fori_loop(0, m, body, unaries_j)
+
+
+def icm_sweeps(
+    B: Array,
+    unaries: Array,
+    binaries: Array,
+    order: Array,
+    icmiter: int,
+) -> Array:
+    """Run `icmiter` full ICM sweeps over the codebooks in `order`.
+
+    Args:
+      B: [n, m] codes.
+      unaries: [n, m, h].
+      binaries: [m, m, h, h] (full symmetric-transpose tensor).
+      order: [m] int32 visit order (a permutation; shared across vectors, as
+        in the reference's `to_look = randperm(m)`, encode_icm.jl:46-49).
+      icmiter: number of sweeps (static).
+    """
+
+    def sweep(B, _):
+        def visit(B, j):
+            scores = _condition(unaries[:, j, :], binaries[:, j], B, j)
+            newcodes = jnp.argmin(scores, axis=-1).astype(B.dtype)
+            return B.at[:, j].set(newcodes), None
+
+        B, _ = jax.lax.scan(visit, B, order)
+        return B, None
+
+    B, _ = jax.lax.scan(sweep, B, None, length=icmiter)
+    return B
+
+
+@partial(jax.jit, static_argnames=("ilsiter", "icmiter", "npert", "randord"))
+def ils_encode(
+    key: Array,
+    X: Array,
+    B0: Array,
+    C: Array,
+    *,
+    ilsiter: int,
+    icmiter: int,
+    npert: int,
+    randord: bool = True,
+) -> ILSResult:
+    """Encode X against codebooks C with `ilsiter` rounds of perturb+ICM.
+
+    Equivalent to `ilsiter` calls of the reference's `encoding_icm`
+    (encode_icm.jl:131-189) fused into one compiled program: the unary and
+    pairwise LUTs are built once (they depend only on C), and each ILS round
+    perturbs, sweeps, and keeps per-vector improvements.
+
+    Returns the new codes and their per-vector cost. The cost is guaranteed
+    elementwise <= the cost of B0.
+    """
+    h = C.shape[1]
+    m = C.shape[0]
+    unaries = get_unaries(X, C)  # [n, m, h]
+    binaries = get_binaries(C)  # [m, m, h, h]
+    cost0 = veccost(X, B0, C)
+
+    def ils_round(carry, key_i):
+        B, cost = carry
+        kperm, kpert = jax.random.split(key_i)
+        order = (
+            jax.random.permutation(kperm, m)
+            if randord
+            else jnp.arange(m, dtype=jnp.int32)
+        )
+        Bp = perturb_codes(kpert, B, npert, h)
+        Bp = icm_sweeps(Bp, unaries, binaries, order, icmiter)
+        newcost = veccost(X, Bp, C)
+        better = newcost < cost
+        B = jnp.where(better[:, None], Bp, B)
+        cost = jnp.where(better, newcost, cost)
+        return (B, cost), None
+
+    keys = jax.random.split(key, ilsiter)
+    (B, cost), _ = jax.lax.scan(ils_round, (B0, cost0), keys)
+    return ILSResult(B, cost)
+
+
+def encode_chunked(
+    key: Array,
+    X,
+    B0,
+    C: Array,
+    *,
+    ilsiter: int,
+    icmiter: int,
+    npert: int,
+    randord: bool = True,
+    chunk: int = 1 << 17,
+    encode_fn=None,
+) -> ILSResult:
+    """ILS-encode a large base set in fixed-size chunks.
+
+    The [n, m, h] unary table dominates memory (n=1M, m=8, h=256 -> 8 GB
+    fp32), so big datasets stream through in `chunk`-sized pieces — the same
+    capacity trick as the reference GPU encoder's `nsplits`
+    (encode_icm_cuda.jl:261-288) but with a single compiled program reused for
+    every chunk (the tail chunk is padded to keep shapes static).
+
+    Accepts numpy or JAX arrays; returns host-side ILSResult.
+    """
+    import numpy as np
+
+    n = X.shape[0]
+    fn = encode_fn or (
+        lambda k, x, b: ils_encode(
+            k, x, b, C, ilsiter=ilsiter, icmiter=icmiter, npert=npert, randord=randord
+        )
+    )
+    outB, outcost = [], []
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        xs, bs = np.asarray(X[start:stop]), np.asarray(B0[start:stop])
+        pad = chunk - (stop - start) if (stop - start) < chunk and start > 0 else 0
+        if pad:
+            xs = np.concatenate([xs, np.broadcast_to(xs[-1:], (pad,) + xs.shape[1:])])
+            bs = np.concatenate([bs, np.broadcast_to(bs[-1:], (pad,) + bs.shape[1:])])
+        key, sub = jax.random.split(key)
+        res = fn(sub, jnp.asarray(xs), jnp.asarray(bs))
+        outB.append(np.asarray(res.B)[: stop - start])
+        outcost.append(np.asarray(res.cost)[: stop - start])
+    return ILSResult(np.concatenate(outB), np.concatenate(outcost))

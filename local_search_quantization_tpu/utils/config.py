@@ -1,0 +1,84 @@
+"""Typed configuration for every trainer and pipeline.
+
+The reference hard-codes hyperparameters inside each demo script
+(/root/reference/demos/demo_lsq.jl:13-20,34-38); here a single set of
+dataclasses carries them, with defaults matching the reference demos.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def _check_mh(m: int, h: int) -> None:
+    if m < 1:
+        raise ValueError(f"need at least one codebook, got m={m}")
+    if h < 2:
+        raise ValueError(f"need at least two entries per codebook, got h={h}")
+
+
+@dataclasses.dataclass(frozen=True)
+class PQConfig:
+    m: int = 8  # number of codebooks (demo_pq.jl:12)
+    h: int = 256  # entries per codebook
+    kmeans_maxiter: int = 100
+    kmeans_tol: float = 1e-6
+    seed: int = 0
+
+    def __post_init__(self):
+        _check_mh(self.m, self.h)
+
+    @property
+    def bits(self) -> int:
+        return self.m * (self.h - 1).bit_length()
+
+
+@dataclasses.dataclass(frozen=True)
+class OPQConfig(PQConfig):
+    niter: int = 10  # rotation/assignment alternations (demo_opq.jl)
+    init: str = "natural"  # "natural" (R = I) or "random"
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainQConfig:
+    m: int = 7
+    h: int = 256
+    niter: int = 10
+    ridge: float = 1e-4
+    seed: int = 0
+
+    def __post_init__(self):
+        _check_mh(self.m, self.h)
+        if self.m < 2:
+            raise ValueError("ChainQ needs at least two codebooks")
+
+
+@dataclasses.dataclass(frozen=True)
+class LSQConfig:
+    m: int = 7  # codebooks (one byte reserved for the norm; demo_lsq.jl:14)
+    h: int = 256
+    niter: int = 10  # EM iterations
+    ilsiter: int = 8  # ILS rounds per encoding call (demo_lsq.jl:34)
+    icmiter: int = 4  # ICM sweeps per ILS round
+    npert: int = 4  # codes perturbed per vector per ILS round
+    randord: bool = True
+    ilsiter_base: int = 16  # ILS rounds when encoding the base set ("LSQ-16")
+    codebook_method: str = "cholesky"  # or "lsqr" for reference parity
+    ridge: float = 1e-4
+    lsqr_niter: int = 32
+    seed: int = 0
+
+    def __post_init__(self):
+        _check_mh(self.m, self.h)
+        if not 0 <= self.npert <= self.m:
+            raise ValueError(f"npert must be in [0, m], got {self.npert}")
+
+
+@dataclasses.dataclass(frozen=True)
+class SLSQConfig(LSQConfig):
+    # Sparse-LSQ: L1-constrained codebook update (reference uses SPGL1 via
+    # MATLAB, demos/demo_lsq_sparse.jl:26-46; we use a projected prox solver).
+    S: int = 0  # keep top-S entries (0 = d*h, set by trainer)
+    tau_scale: float = 0.7  # tau = tau_scale * ||C_init||_1
+    prox_iters: int = 100
+    prox_lr: float | None = None  # None = 1/L with L estimated from counts

@@ -1,0 +1,101 @@
+"""ADC scanners vs brute-force oracles; recall eval; norm quantization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from local_search_quantization_tpu.models import train_pq
+from local_search_quantization_tpu.ops import adc, costs, norms
+from local_search_quantization_tpu.ops.subspaces import (
+    pq_full_codebooks,
+    reconstruct_pq,
+)
+from local_search_quantization_tpu.utils.config import PQConfig
+from local_search_quantization_tpu.utils.eval import eval_recall
+
+
+def test_linscan_pq_matches_bruteforce(rng):
+    n, nq, d, m, h = 500, 7, 16, 4, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    model = train_pq(X, PQConfig(m=m, h=h))
+    B = np.asarray(model.B)
+    k = 20
+    res = adc.linscan_pq(B, Q, model.C_sub, k=k, query_chunk=4, base_block=128)
+    # Oracle: exact ADC distance = || q - recon ||^2.
+    recon = np.asarray(reconstruct_pq(jnp.asarray(B), model.C_sub, d))
+    for qi in range(nq):
+        d2 = np.sum((recon - Q[qi]) ** 2, axis=1)
+        order = np.argsort(d2, kind="stable")[:k]
+        np.testing.assert_allclose(
+            np.sort(res.dists[qi]), np.sort(d2[order]), rtol=1e-3, atol=1e-3
+        )
+        # Same candidate set modulo ties.
+        assert len(set(res.ids[qi]) & set(order)) >= k - 2
+
+
+def test_linscan_lsq_matches_bruteforce(rng):
+    n, nq, d, m, h = 400, 5, 12, 3, 8
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbnorms = np.sum(recon * recon, axis=1).astype(np.float32)
+    k = 15
+    res = adc.linscan_lsq(B, Q, jnp.asarray(C), dbnorms, k=k, query_chunk=4,
+                          base_block=128)
+    for qi in range(nq):
+        # The scanner's score: -2 q.recon + ||recon||^2 (drops ||q||^2).
+        score = -2.0 * recon @ Q[qi] + dbnorms
+        order = np.argsort(score, kind="stable")[:k]
+        np.testing.assert_allclose(
+            np.sort(res.dists[qi]), np.sort(score[order]), rtol=1e-3, atol=1e-3
+        )
+        assert len(set(res.ids[qi]) & set(order)) >= k - 2
+
+
+def test_linscan_padding_never_wins(rng):
+    # n deliberately not a multiple of base_block.
+    n, d, m, h = 100, 8, 2, 4
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(3, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbnorms = np.sum(recon * recon, axis=1).astype(np.float32)
+    res = adc.linscan_lsq(B, Q, jnp.asarray(C), dbnorms, k=50, query_chunk=4,
+                          base_block=64)
+    assert res.ids.max() < n
+    assert res.ids.min() >= 0
+
+
+def test_eval_recall():
+    gt = np.array([5, 3, 9, 0])
+    ids = np.array(
+        [
+            [5, 1, 2, 4],  # rank 1
+            [1, 3, 2, 4],  # rank 2
+            [1, 2, 4, 9],  # rank 4
+            [7, 8, 1, 2],  # not found
+        ]
+    )
+    rec = eval_recall(gt, ids, 4, verbose=False)
+    np.testing.assert_allclose(rec, [0.25, 0.5, 0.5, 0.75])
+
+
+def test_quantize_norms_roundtrip(rng):
+    n, d, m, h = 300, 8, 3, 16
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    cbnorms, codes = norms.train_norm_codebook(
+        jax.random.PRNGKey(0), jnp.asarray(B), jnp.asarray(C), h
+    )
+    codes2 = norms.quantize_norms(jnp.asarray(B), jnp.asarray(C), cbnorms)
+    true = np.asarray(norms.reconstruction_sqnorms(jnp.asarray(B), jnp.asarray(C)))
+    approx = np.asarray(cbnorms)[np.asarray(codes2)]
+    # Quantized norms are close in relative terms.
+    rel = np.abs(approx - true) / np.maximum(true, 1e-6)
+    assert np.median(rel) < 0.2
+    # quantize_norms at the training set is consistent with its own codebook:
+    # every assignment is the argmin.
+    d2 = (true[:, None] - np.asarray(cbnorms)[None, :]) ** 2
+    np.testing.assert_array_equal(np.asarray(codes2), np.argmin(d2, axis=1))

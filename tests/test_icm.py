@@ -1,0 +1,109 @@
+"""ICM/ILS encoder invariants and oracle checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from local_search_quantization_tpu.ops import costs, icm, luts
+
+
+def brute_force_best_code(X, C, j, B):
+    """Oracle: exhaustive best code for codebook j given other codes fixed."""
+    n, m = B.shape
+    h = C.shape[1]
+    best = np.zeros(n, np.int32)
+    for nn in range(n):
+        costs_ = np.zeros(h)
+        for c in range(h):
+            Bc = B[nn].copy()
+            Bc[j] = c
+            recon = sum(C[i, Bc[i]] for i in range(m))
+            costs_[c] = np.sum((X[nn] - recon) ** 2)
+        best[nn] = np.argmin(costs_)
+    return best
+
+
+def test_single_sweep_matches_exhaustive_conditional(rng):
+    """One ICM visit of codebook j must produce the exhaustive conditional
+    argmin (ICM's defining property)."""
+    n, d, m, h = 12, 6, 3, 5
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = rng.normal(size=(m, h, d)).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+
+    unaries = luts.get_unaries(jnp.asarray(X), jnp.asarray(C))
+    binaries = luts.get_binaries(jnp.asarray(C))
+    for j in range(m):
+        order = jnp.asarray([j], jnp.int32)
+        B_new = np.asarray(
+            icm.icm_sweeps(jnp.asarray(B), unaries, binaries, order, 1)
+        )
+        expect = brute_force_best_code(X, C, j, B)
+        np.testing.assert_array_equal(B_new[:, j], expect)
+        # Other codebooks untouched.
+        others = [i for i in range(m) if i != j]
+        np.testing.assert_array_equal(B_new[:, others], B[:, others])
+
+
+def test_icm_never_increases_cost(rng):
+    n, d, m, h = 64, 8, 4, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = rng.normal(size=(m, h, d)).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    unaries = luts.get_unaries(jnp.asarray(X), jnp.asarray(C))
+    binaries = luts.get_binaries(jnp.asarray(C))
+    cost0 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(B), jnp.asarray(C)))
+    order = jnp.arange(m, dtype=jnp.int32)
+    B1 = icm.icm_sweeps(jnp.asarray(B), unaries, binaries, order, 4)
+    cost1 = np.asarray(costs.veccost(jnp.asarray(X), B1, jnp.asarray(C)))
+    # Pure ICM (no perturbation) is a coordinate descent: per-vector monotone.
+    assert (cost1 <= cost0 + 1e-3).all()
+
+
+def test_perturb_codes_properties(rng):
+    n, m, h, npert = 200, 7, 16, 4
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Bp = np.asarray(
+        icm.perturb_codes(jax.random.PRNGKey(0), jnp.asarray(B), npert, h)
+    )
+    changed = (Bp != B).sum(axis=1)
+    # At most npert entries change per vector (a perturbed entry may draw its
+    # old value), and codes stay in range.
+    assert (changed <= npert).all()
+    assert Bp.min() >= 0 and Bp.max() < h
+    assert changed.mean() > npert * 0.5  # most perturbations actually change
+
+
+def test_ils_encode_accept_if_better_invariant(rng):
+    """The ILS accept step guarantees per-vector non-increasing cost — the
+    invariant the reference prints as '% better' (encode_icm.jl:177-186)."""
+    n, d, m, h = 128, 16, 4, 16
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = rng.normal(size=(m, h, d)).astype(np.float32) * 0.3
+    B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    cost0 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C)))
+    res = icm.ils_encode(
+        jax.random.PRNGKey(1), jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C),
+        ilsiter=4, icmiter=2, npert=2,
+    )
+    newcost = np.asarray(
+        costs.veccost(jnp.asarray(X), res.B, jnp.asarray(C))
+    )
+    assert (newcost <= cost0 + 1e-3).all()
+    np.testing.assert_allclose(np.asarray(res.cost), newcost, rtol=1e-4, atol=1e-3)
+    # And it actually improves on average.
+    assert newcost.mean() < cost0.mean()
+
+
+def test_encode_chunked_matches_unchunked_shapes(rng):
+    n, d, m, h = 300, 8, 3, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = rng.normal(size=(m, h, d)).astype(np.float32)
+    B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    res = icm.encode_chunked(
+        jax.random.PRNGKey(0), X, B0, jnp.asarray(C),
+        ilsiter=2, icmiter=2, npert=1, chunk=128,
+    )
+    assert res.B.shape == (n, m)
+    cost0 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C)))
+    assert (res.cost <= cost0 + 1e-3).all()

@@ -1,0 +1,105 @@
+"""End-to-end pipelines on the synthetic Gaussian-mixture dataset:
+train -> encode base -> query -> recall (SURVEY.md §4's golden-threshold
+strategy; the reference's only integration tests are its demos)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from local_search_quantization_tpu.models import (
+    train_chainq,
+    train_lsq,
+    train_opq,
+    train_pq,
+    quantize_opq,
+    quantize_pq,
+)
+from local_search_quantization_tpu.ops import adc, costs, icm, norms
+from local_search_quantization_tpu.utils.config import (
+    ChainQConfig,
+    LSQConfig,
+    OPQConfig,
+    PQConfig,
+)
+from local_search_quantization_tpu.utils.eval import eval_recall
+from local_search_quantization_tpu.utils.synth import random_codes, synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data():
+    return synthetic_dataset(0, d=32, n_train=1500, n_base=6000, n_query=60)
+
+
+def test_pq_pipeline_recall(data):
+    model = train_pq(data.train, PQConfig(m=4, h=32, seed=0))
+    B_base = quantize_pq(data.base, model.C_sub)
+    res = adc.linscan_pq(np.asarray(B_base), data.query, model.C_sub, k=100,
+                         query_chunk=64, base_block=2048)
+    rec = eval_recall(data.gt, res.ids, 100, verbose=False)
+    assert rec[0] > 0.02  # recall@1 (only ~20-bit codes on synthetic data)
+    assert rec[9] > 0.25  # recall@10
+    assert rec[99] > 0.9  # recall@100
+
+
+def test_opq_pipeline_recall(data):
+    model = train_opq(data.train, OPQConfig(m=4, h=32, niter=8, seed=0))
+    B_base = quantize_opq(data.base, model.R, model.C_sub)
+    res = adc.linscan_opq(np.asarray(B_base), data.query, model.C_sub, model.R,
+                          k=100, query_chunk=64, base_block=2048)
+    rec = eval_recall(data.gt, res.ids, 100, verbose=False)
+    assert rec[0] > 0.02
+    assert rec[9] > 0.25
+    assert rec[99] > 0.9
+
+
+def test_chainq_then_lsq_pipeline(data):
+    """The flagship demo_lsq flow: OPQ -> ChainQ -> LSQ -> base encode ->
+    norm quantization -> additive ADC query -> recall."""
+    m, h = 4, 32
+    opq = train_opq(data.train, OPQConfig(m=m, h=h, niter=5, seed=0))
+    chain = train_chainq(
+        data.train, opq.B, opq.R, ChainQConfig(m=m, h=h, niter=3)
+    )
+    # ChainQ objective decreases.
+    assert chain.obj[-1] <= chain.obj[0] * 1.001
+
+    lsq = train_lsq(
+        data.train,
+        chain.B,
+        chain.R,
+        LSQConfig(m=m, h=h, niter=3, ilsiter=3, icmiter=2, npert=1, seed=0),
+    )
+    # LSQ beats its chain init on train MSE.
+    train_mse = float(costs.qerror(jnp.asarray(data.train), lsq.B, lsq.C))
+    assert train_mse <= chain.obj[-1] * 1.05
+
+    # Encode base with ILS, quantize norms, query.
+    B0 = random_codes(0, data.base.shape[0], m, h)
+    enc = icm.encode_chunked(
+        jax.random.PRNGKey(7), data.base, B0, lsq.C,
+        ilsiter=4, icmiter=2, npert=1, chunk=2048,
+    )
+    bnorm_codes = norms.quantize_norms(jnp.asarray(enc.B), lsq.C, lsq.cbnorms)
+    db_norms = np.asarray(lsq.cbnorms)[np.asarray(bnorm_codes)]
+    res = adc.linscan_lsq(enc.B, data.query, lsq.C, db_norms, k=100,
+                          query_chunk=64, base_block=2048)
+    rec = eval_recall(data.gt, res.ids, 100, verbose=False)
+    assert rec[0] > 0.02
+    assert rec[9] > 0.25
+    assert rec[99] > 0.85
+
+
+def test_lsq_objective_nonincreasing(data):
+    """Monotonicity invariant the reference only prints (SURVEY.md §4.2):
+    with accept-if-better encoding and exact LS codebook updates, the
+    objective trace must be non-increasing up to solver tolerance."""
+    m, h = 4, 16
+    opq = train_opq(data.train, OPQConfig(m=m, h=h, niter=4, seed=1))
+    chain = train_chainq(data.train, opq.B, opq.R, ChainQConfig(m=m, h=h, niter=2))
+    lsq = train_lsq(
+        data.train, chain.B, chain.R,
+        LSQConfig(m=m, h=h, niter=4, ilsiter=2, icmiter=2, npert=1, seed=1),
+    )
+    objs = np.asarray(lsq.obj)
+    assert (np.diff(objs) <= np.abs(objs[:-1]) * 0.01).all(), objs
