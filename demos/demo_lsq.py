@@ -49,7 +49,12 @@ def main():
     ap.add_argument("--ilsiter-base", type=int, default=16)  # LSQ-16
     ap.add_argument("--knn", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu) before any backend use")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     x_train, x_base, x_query, gt = load_data(args)
     m, h = args.m, args.h

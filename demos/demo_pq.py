@@ -46,7 +46,12 @@ def main():
     ap.add_argument("--m", type=int, default=8)
     ap.add_argument("--h", type=int, default=256)
     ap.add_argument("--knn", type=int, default=1000)
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu) before any backend use")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     x_train, x_base, x_query, gt = load_data(args)
     cfg = PQConfig(m=args.m, h=args.h)

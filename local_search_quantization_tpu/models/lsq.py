@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from local_search_quantization_tpu.ops.costs import qerror
-from local_search_quantization_tpu.ops.icm import ils_encode
+from local_search_quantization_tpu.ops.icm import ils_encode, resolve_condition_mode
 from local_search_quantization_tpu.ops.norms import train_norm_codebook
 from local_search_quantization_tpu.ops.solver import update_codebooks
 from local_search_quantization_tpu.utils.config import LSQConfig
@@ -57,6 +57,7 @@ def train_lsq(
         icmiter=config.icmiter,
         npert=config.npert,
         randord=config.randord,
+        condition_mode=resolve_condition_mode(config.condition_mode),
     )
     solve_kwargs = dict(
         method=config.codebook_method,

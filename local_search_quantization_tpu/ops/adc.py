@@ -60,7 +60,12 @@ def lsq_query_luts(Q: Array, C: Array) -> Array:
     )
 
 
-def lut_scan_block(luts: Array, B_block: Array, extra: Array | None = None) -> Array:
+def lut_scan_block(
+    luts: Array,
+    B_block: Array,
+    extra: Array | None = None,
+    pvary_axis: str | None = None,
+) -> Array:
     """Sum LUT entries for one base block: [nq, m, h] x [nb, m] -> [nq, nb].
 
     extra: optional [nb] additive term (quantized database norms for the
@@ -73,15 +78,22 @@ def lut_scan_block(luts: Array, B_block: Array, extra: Array | None = None) -> A
         return acc + jnp.take(luts[:, i, :], B_block[:, i], axis=1)
 
     acc0 = jnp.zeros((luts.shape[0], B_block.shape[0]), jnp.float32)
+    if pvary_axis is not None:
+        acc0 = jax.lax.pcast(acc0, pvary_axis, to="varying")
     acc = jax.lax.fori_loop(0, m, body, acc0)
     if extra is not None:
         acc = acc + extra[None, :]
     return acc
 
 
-@partial(jax.jit, static_argnames=("k", "block"))
+@partial(jax.jit, static_argnames=("k", "block", "pvary_axis"))
 def _scan_topk(
-    luts: Array, B: Array, extra: Array | None, k: int, block: int
+    luts: Array,
+    B: Array,
+    extra: Array | None,
+    k: int,
+    block: int,
+    pvary_axis: str | None = None,
 ) -> KNNResult:
     """Streaming top-k ADC scan of the full base set for one query chunk.
 
@@ -102,7 +114,9 @@ def _scan_topk(
     def step(carry, inp):
         best_nd, best_id = carry  # [nq, k] negated dists, ids
         bi, (Bblk, eblk) = inp
-        tile = lut_scan_block(luts, Bblk, eblk if extra is not None else None)
+        tile = lut_scan_block(
+            luts, Bblk, eblk if extra is not None else None, pvary_axis=pvary_axis
+        )
         ids = bi * block + jnp.arange(block, dtype=jnp.int32)[None, :]
         cand_nd = jnp.concatenate([best_nd, -tile], axis=1)
         cand_id = jnp.concatenate(
@@ -115,6 +129,10 @@ def _scan_topk(
         jnp.full((nq, k), -jnp.inf, jnp.float32),
         jnp.full((nq, k), -1, jnp.int32),
     )
+    if pvary_axis is not None:
+        # Under shard_map (jax >= 0.8 vma typing) the scan carry must be
+        # marked device-varying to match the per-shard outputs.
+        init = jax.lax.pcast(init, pvary_axis, to="varying")
     idxs = jnp.arange(nblocks, dtype=jnp.int32)
     (nd, ids), _ = jax.lax.scan(step, init, (idxs, (Bb, extrab)))
     return KNNResult(-nd, ids)

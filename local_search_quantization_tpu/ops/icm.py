@@ -52,12 +52,12 @@ def perturb_codes(key: Array, B: Array, npert: int, h: int) -> Array:
     if npert <= 0:
         return B
     kpos, kval = jax.random.split(key)
-    ranks = jnp.argsort(
-        jax.random.uniform(kpos, (n, m)), axis=-1
-    )  # ranks[:, :npert] = positions
-    mask = jnp.zeros((n, m), jnp.bool_).at[
-        jnp.arange(n)[:, None], ranks[:, :npert]
-    ].set(True)
+    # npert distinct positions per row = the npert largest of m iid uniforms
+    # (ties have probability 0): a top-k over the tiny lane axis, cheaper on
+    # TPU than argsort + scatter.
+    u = jax.random.uniform(kpos, (n, m))
+    kth = jax.lax.top_k(u, npert)[0][:, -1:]
+    mask = u >= kth
     vals = jax.random.randint(kval, (n, m), 0, h, dtype=B.dtype)
     return jnp.where(mask, vals, B)
 
@@ -89,12 +89,74 @@ def _condition(
     return jax.lax.fori_loop(0, m, body, unaries_j)
 
 
+def _condition_matmul(
+    unaries_j: Array, binaries_to_j: Array, B: Array, j: Array
+) -> Array:
+    """MXU formulation of the conditioning step.
+
+    The row gather binaries[k, j][B[:, k], :] equals onehot(B[:, k]) @
+    binaries[k, j]; summing over k != j makes the whole conditioning ONE
+    [n, m*h] x [m*h, h] matmul with a masked one-hot left operand — the MXU
+    eats this, where per-(j,k) gathers are VPU/HBM-bound. One-hot entries are
+    exact in bf16; the binary LUTs are cast to bf16 (the per-vector
+    accept-if-better check still uses exact fp32 costs, so a rounding-induced
+    suboptimal ICM proposal can never increase the objective).
+    """
+    n, m = B.shape
+    h = unaries_j.shape[1]
+    onehot = jax.nn.one_hot(B, h, dtype=jnp.bfloat16)  # [n, m, h]
+    mask = (jnp.arange(m) != j).astype(jnp.bfloat16)
+    onehot = onehot * mask[None, :, None]
+    cond = jax.lax.dot_general(
+        onehot.reshape(n, m * h),
+        binaries_to_j.astype(jnp.bfloat16).reshape(m * h, h),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return unaries_j + cond
+
+
+def cost_from_luts(
+    xsq: Array, unaries: Array, binaries: Array, B: Array
+) -> Array:
+    """Per-vector cost from the MRF decomposition (no reconstruction):
+
+        ||x||^2 + sum_i unaries[n, i, B_i] + sum_{i<j} binaries[i, j, B_i, B_j]
+
+    Mathematically equal to veccost (different fp summation order); much
+    cheaper inside the ILS loop where the LUTs already exist — one [n, m]
+    take_along + m(m-1)/2 scalar-per-vector gathers, vs rebuilding the
+    [m, n, d] reconstruction.
+    """
+    n, m = B.shape
+    h = unaries.shape[-1]
+    u = jnp.take_along_axis(unaries, B[:, :, None], axis=2)[:, :, 0]  # [n, m]
+    total = xsq + jnp.sum(u, axis=1)
+    flat = binaries.reshape(m, m, h * h)
+    for i in range(m):
+        for j in range(i + 1, m):
+            total = total + jnp.take(flat[i, j], B[:, i] * h + B[:, j], axis=0)
+    return total
+
+
+_CONDITION_FNS = {"gather": _condition, "matmul": _condition_matmul}
+
+
+def resolve_condition_mode(mode: str) -> str:
+    """Map "auto" to the best backend for the current platform."""
+    if mode == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "gather"
+    return mode
+
+
 def icm_sweeps(
     B: Array,
     unaries: Array,
     binaries: Array,
     order: Array,
     icmiter: int,
+    *,
+    condition_mode: str = "gather",
 ) -> Array:
     """Run `icmiter` full ICM sweeps over the codebooks in `order`.
 
@@ -107,9 +169,11 @@ def icm_sweeps(
       icmiter: number of sweeps (static).
     """
 
+    cond_fn = _CONDITION_FNS[condition_mode]
+
     def sweep(B, _):
         def visit(B, j):
-            scores = _condition(unaries[:, j, :], binaries[:, j], B, j)
+            scores = cond_fn(unaries[:, j, :], binaries[:, j], B, j)
             newcodes = jnp.argmin(scores, axis=-1).astype(B.dtype)
             return B.at[:, j].set(newcodes), None
 
@@ -120,7 +184,10 @@ def icm_sweeps(
     return B
 
 
-@partial(jax.jit, static_argnames=("ilsiter", "icmiter", "npert", "randord"))
+@partial(
+    jax.jit,
+    static_argnames=("ilsiter", "icmiter", "npert", "randord", "condition_mode"),
+)
 def ils_encode(
     key: Array,
     X: Array,
@@ -131,6 +198,7 @@ def ils_encode(
     icmiter: int,
     npert: int,
     randord: bool = True,
+    condition_mode: str = "gather",
 ) -> ILSResult:
     """Encode X against codebooks C with `ilsiter` rounds of perturb+ICM.
 
@@ -146,7 +214,13 @@ def ils_encode(
     m = C.shape[0]
     unaries = get_unaries(X, C)  # [n, m, h]
     binaries = get_binaries(C)  # [m, m, h, h]
-    cost0 = veccost(X, B0, C)
+    xsq = jnp.sum(X * X, axis=-1)
+    cost0 = cost_from_luts(xsq, unaries, binaries, B0)
+    if condition_mode == "fused":
+        from local_search_quantization_tpu.ops.icm_pallas import fused_icm_sweeps
+
+        binaries_bf16 = binaries.astype(jnp.bfloat16)
+        interpret = jax.default_backend() != "tpu"
 
     def ils_round(carry, key_i):
         B, cost = carry
@@ -157,8 +231,16 @@ def ils_encode(
             else jnp.arange(m, dtype=jnp.int32)
         )
         Bp = perturb_codes(kpert, B, npert, h)
-        Bp = icm_sweeps(Bp, unaries, binaries, order, icmiter)
-        newcost = veccost(X, Bp, C)
+        if condition_mode == "fused":
+            Bp = fused_icm_sweeps(
+                Bp, unaries, binaries_bf16, order,
+                icmiter=icmiter, interpret=interpret,
+            )
+        else:
+            Bp = icm_sweeps(
+                Bp, unaries, binaries, order, icmiter, condition_mode=condition_mode
+            )
+        newcost = cost_from_luts(xsq, unaries, binaries, Bp)
         better = newcost < cost
         B = jnp.where(better[:, None], Bp, B)
         cost = jnp.where(better, newcost, cost)
@@ -179,6 +261,7 @@ def encode_chunked(
     icmiter: int,
     npert: int,
     randord: bool = True,
+    condition_mode: str = "auto",
     chunk: int = 1 << 17,
     encode_fn=None,
 ) -> ILSResult:
@@ -195,9 +278,11 @@ def encode_chunked(
     import numpy as np
 
     n = X.shape[0]
+    mode = resolve_condition_mode(condition_mode)
     fn = encode_fn or (
         lambda k, x, b: ils_encode(
-            k, x, b, C, ilsiter=ilsiter, icmiter=icmiter, npert=npert, randord=randord
+            k, x, b, C, ilsiter=ilsiter, icmiter=icmiter, npert=npert,
+            randord=randord, condition_mode=mode,
         )
     )
     outB, outcost = [], []

@@ -1,0 +1,135 @@
+"""Fused Pallas TPU kernel for the ICM sweep loop.
+
+This is the TPU replacement for the reference's CUDA `condition_icm3` kernel
+(/root/reference/src/encodings/cuda/cudautils.cu:236-339) — but where the CUDA
+kernel is launched once per (ICM iteration x codebook) with a host round-trip
+to concatenate pairwise LUTs (encode_icm_cuda.jl:165-183), this kernel runs
+ALL icmiter*m conditional-argmin visits in one launch:
+
+- the [m, m, h, h] pairwise LUT tensor lives in VMEM in bf16 for the whole
+  kernel (5.7 MB at m=7, h=256 — the CUDA version re-uploads slices from host
+  every visit);
+- each grid step owns a tile of vectors; its unaries ([tile, m, h] fp32) are
+  read from HBM exactly once per ILS round;
+- conditioning is a one-hot (bf16, exact) x LUT matmul on the MXU; the
+  conditional argmin over h runs on the VPU;
+- codes stay in registers/VMEM across all visits; HBM sees only the final
+  codes.
+
+The visit order (icmiter repeats of a possibly shuffled codebook permutation)
+arrives via scalar prefetch, so the random ICM order of the reference
+(`randperm(m)` per ILS round) is preserved without recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _icm_kernel(order_ref, u_ref, bin_ref, b_ref, out_ref, oh_ref, *, m: int,
+                h: int, nvisit: int):
+    tile = b_ref.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, h), dimension=1)
+
+    # Codes are carried as per-codebook one-hot matrices in VMEM scratch —
+    # they double as the left matmul operand, and updating codebook j is a
+    # dynamic write on the *leading* axis (Mosaic cannot dynamically write a
+    # lane column of an int [tile, m] block).
+    for k in range(m):
+        oh_ref[k] = (b_ref[:, k : k + 1] == col_ids).astype(jnp.bfloat16)
+
+    def visit(s, carry):
+        j = order_ref[s]
+        acc = u_ref[:, pl.ds(j, 1), :].reshape(tile, h)  # fp32 [tile, h]
+        for k in range(m):  # static unroll: m is small (7-8)
+            lut = bin_ref[k, pl.ds(j, 1)].reshape(h, h)  # bf16 [h, h]
+            contrib = jax.lax.dot_general(
+                oh_ref[k],
+                lut,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # Node j is not conditioned on itself; k is static, j traced.
+            acc = acc + jnp.where(k == j, 0.0, 1.0) * contrib
+        newcode = jnp.argmin(acc, axis=-1)  # [tile] int32
+        oh_ref[pl.ds(j, 1)] = (
+            (newcode[:, None] == col_ids).astype(jnp.bfloat16)[None]
+        )
+        return carry
+
+    jax.lax.fori_loop(0, nvisit, visit, 0)
+
+    # Extract codes from the one-hot state (argmax only lowers for f32 in
+    # Mosaic, so cast; one-hot values are exactly 0/1 either way).
+    out_ref[:] = jnp.stack(
+        [
+            jnp.argmax(oh_ref[k].astype(jnp.float32), axis=-1).astype(jnp.int32)
+            for k in range(m)
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("icmiter", "tile", "interpret")
+)
+def fused_icm_sweeps(
+    B: Array,
+    unaries: Array,
+    binaries_bf16: Array,
+    order: Array,
+    *,
+    icmiter: int,
+    tile: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Run icmiter full ICM sweeps in one fused kernel launch.
+
+    Args:
+      B: [n, m] int32 codes (n must be a multiple of `tile`; ils_encode pads).
+      unaries: [n, m, h] float32.
+      binaries_bf16: [m, m, h, h] bfloat16 (cast once per encode; one-hot
+        operands are exact in bf16, so only LUT values are rounded — and the
+        ILS accept step re-checks costs in fp32).
+      order: [m] int32 visit permutation, identical across vectors.
+      icmiter: number of sweeps.
+    """
+    n, m = B.shape
+    h = unaries.shape[-1]
+    pad = (-n) % tile
+    if pad:
+        B = jnp.concatenate([B, jnp.zeros((pad, m), B.dtype)])
+        unaries = jnp.concatenate(
+            [unaries, jnp.zeros((pad, m, h), unaries.dtype)]
+        )
+    npad = n + pad
+    visits = jnp.tile(order.astype(jnp.int32), icmiter)  # [icmiter * m]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(npad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, m, h), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((m, m, h, h), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((m, tile, h), jnp.bfloat16)],
+    )
+    kernel = functools.partial(
+        _icm_kernel, m=m, h=h, nvisit=icmiter * m
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((npad, m), jnp.int32),
+        interpret=interpret,
+    )(visits, unaries, binaries_bf16, B)
+    return out[:n]

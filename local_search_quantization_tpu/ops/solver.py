@@ -36,7 +36,8 @@ from local_search_quantization_tpu.ops.costs import subspace_slices
 Array = jax.Array
 
 
-def code_gram(B: Array, X: Array, h: int, *, chunk: int = 1 << 13):
+def code_gram(B: Array, X: Array, h: int, *, chunk: int = 1 << 13,
+              pvary_axis: str | None = None):
     """Accumulate G = A^T A [mh, mh] and A^T X [mh, d] in one-hot chunks.
 
     Runs as a `lax.scan` over n-chunks; the [chunk, m, h] one-hot transient
@@ -73,6 +74,10 @@ def code_gram(B: Array, X: Array, h: int, *, chunk: int = 1 << 13):
         jnp.zeros((m, m, h, h), jnp.float32),
         jnp.zeros((m, h, X.shape[1]), jnp.float32),
     )
+    if pvary_axis is not None:
+        # Inside shard_map the scan carry must be marked device-varying up
+        # front or the carry types won't match (jax >= 0.8 vma typing).
+        init = jax.lax.pcast(init, pvary_axis, to="varying")
     (G, AtX), _ = jax.lax.scan(step, init, (Bc, Xc))
     mh = m * h
     G = jnp.moveaxis(G, 2, 1).reshape(mh, mh)

@@ -1,0 +1,112 @@
+"""Sharded ADC query: per-shard top-k scan + all-gather merge over ICI.
+
+The closest thing this domain has to a collective pattern (SURVEY.md §5):
+base codes sharded on the data axis, per-query LUTs replicated, each chip
+scans its shard and keeps a local top-k, then one all-gather + re-top-k
+produces the global result. DCN never sees per-code traffic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from local_search_quantization_tpu.ops.adc import (
+    KNNResult,
+    _scan_topk,
+    lsq_query_luts,
+    pq_query_luts,
+)
+from local_search_quantization_tpu.parallel.mesh import DATA_AXIS
+
+Array = jax.Array
+
+
+def sharded_scan_topk(
+    mesh: Mesh,
+    luts: Array,
+    B: Array,
+    extra: Array | None,
+    k: int,
+    *,
+    block: int = 1 << 15,
+    axis: str = DATA_AXIS,
+) -> KNNResult:
+    """Scan a sharded code database; return global top-k per query.
+
+    B: [n, m] sharded on `axis` (n divisible by mesh size * no padding —
+    callers pad with +inf `extra` rows as in ops/adc._run_scan).
+    """
+    nshards = mesh.shape[axis]
+    shard_n = B.shape[0] // nshards
+
+    def local(luts, B, extra):
+        idx = jax.lax.axis_index(axis)
+        res = _scan_topk(luts, B, extra, k, min(block, B.shape[0]),
+                         pvary_axis=axis)
+        gids = res.ids + idx * shard_n
+        # New leading axis of size 1 per shard; shard_map stacks to [S, nq, k].
+        return KNNResult(res.dists[None], gids[None])
+
+    in_extra = P(axis) if extra is not None else None
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), in_extra),
+        out_specs=KNNResult(P(axis, None, None), P(axis, None, None)),
+    )
+    per_shard = fn(luts, B, extra)  # [S, nq, k] each
+
+    # Merge the S per-shard top-k lists: one re-top-k over S*k candidates
+    # per query (runs as a normal jitted op over the sharded arrays — the
+    # all-gather this implies is the query path's only collective).
+    nq = per_shard.dists.shape[1]
+    nd_all = jnp.moveaxis(-per_shard.dists, 0, 1).reshape(nq, -1)
+    id_all = jnp.moveaxis(per_shard.ids, 0, 1).reshape(nq, -1)
+    nd, pos = jax.lax.top_k(nd_all, k)
+    return KNNResult(-nd, jnp.take_along_axis(id_all, pos, axis=1))
+
+
+def sharded_linscan_lsq(
+    mesh: Mesh,
+    B,
+    Q,
+    C: Array,
+    db_norms,
+    k: int,
+    *,
+    query_chunk: int = 1024,
+    block: int = 1 << 15,
+) -> KNNResult:
+    """Multi-chip additive-code scanner driver (host-side query chunking)."""
+    from local_search_quantization_tpu.parallel.mesh import replicated, shard_batch
+
+    B = np.asarray(B)
+    n = B.shape[0]
+    nshards = int(np.prod(list(mesh.shape.values())))
+    pad = (-n) % (nshards * block)
+    extra = np.asarray(db_norms, np.float32)
+    if pad:
+        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
+        extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
+    Bs = shard_batch(mesh, jnp.asarray(B))
+    es = shard_batch(mesh, jnp.asarray(extra))
+    Cr = replicated(mesh, jnp.asarray(C))
+
+    out_d, out_i = [], []
+    Q = np.asarray(Q)
+    for start in range(0, Q.shape[0], query_chunk):
+        qc = Q[start : start + query_chunk]
+        npad = query_chunk - qc.shape[0]
+        if npad:
+            qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
+        luts = lsq_query_luts(replicated(mesh, jnp.asarray(qc)), Cr)
+        res = sharded_scan_topk(mesh, luts, Bs, es, k, block=block)
+        out_d.append(np.asarray(res.dists)[: query_chunk - npad])
+        out_i.append(np.asarray(res.ids)[: query_chunk - npad])
+    return KNNResult(np.concatenate(out_d), np.concatenate(out_i))

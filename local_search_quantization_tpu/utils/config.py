@@ -66,6 +66,9 @@ class LSQConfig:
     codebook_method: str = "cholesky"  # or "lsqr" for reference parity
     ridge: float = 1e-4
     lsqr_niter: int = 32
+    # ICM conditioning backend: "auto" = fused Pallas kernel on TPU, XLA
+    # gathers elsewhere; or force "gather" / "matmul" / "fused".
+    condition_mode: str = "auto"
     seed: int = 0
 
     def __post_init__(self):

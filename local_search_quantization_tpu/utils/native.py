@@ -1,0 +1,131 @@
+"""ctypes bindings to the native host runtime (native/liblsqnative.so).
+
+Gracefully degrades: `available()` is False when the library isn't built and
+every caller falls back to the pure NumPy/JAX path. Build with
+`make -C native`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "liblsqnative.so",
+    )
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.environ.get("LSQ_TPU_NATIVE_LIB", _lib_path())
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.lsq_linscan.restype = ctypes.c_int
+        lib.lsq_linscan.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_void_p,  # extra (nullable)
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.lsq_vecs_read.restype = ctypes.c_int64
+        lib.lsq_vecs_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def linscan(luts: np.ndarray, codes: np.ndarray, extra: np.ndarray | None, k: int):
+    """Native ADC scan. luts [nq, m, h] f32, codes [n, m] uint8.
+
+    Returns (dists [nq, k] f32 ascending, ids [nq, k] int64 0-based).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run `make -C native`")
+    luts = np.ascontiguousarray(luts, np.float32)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    nq, m, h = luts.shape
+    n = codes.shape[0]
+    assert codes.shape[1] == m
+    k = min(k, n)
+    dists = np.empty((nq, k), np.float32)
+    ids = np.empty((nq, k), np.int64)
+    extra_arr = (
+        np.ascontiguousarray(extra, np.float32) if extra is not None else None
+    )
+    rc = lib.lsq_linscan(
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        luts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        extra_arr.ctypes.data if extra_arr is not None else None,
+        n,
+        nq,
+        m,
+        h,
+        k,
+    )
+    if rc != 0:
+        raise RuntimeError(f"lsq_linscan failed with code {rc}")
+    return dists, ids
+
+
+def vecs_read(path: str, scalar: type, offset: int = 0, count: int | None = None):
+    """Native bulk TEXMEX reader. scalar in (np.float32, np.int32, np.uint8)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run `make -C native`")
+    scalar = np.dtype(scalar)
+    sb = scalar.itemsize
+    # Probe the dimension first to size the buffer.
+    dim = ctypes.c_int(0)
+    probe = np.empty(0, np.uint8)
+    got = lib.lsq_vecs_read(
+        path.encode(), sb, 0, 0, probe.ctypes.data, ctypes.byref(dim)
+    )
+    if got < 0:
+        raise IOError(f"failed to read {path} (rc={got})")
+    d = dim.value
+    with open(path, "rb") as f:
+        f.seek(0, os.SEEK_END)
+        total = f.tell() // (4 + d * sb)
+    want = total - offset if count is None else min(count, total - offset)
+    out = np.empty((want, d), scalar)
+    got = lib.lsq_vecs_read(
+        path.encode(), sb, offset, want, out.ctypes.data, ctypes.byref(dim)
+    )
+    if got < 0:
+        raise IOError(f"failed to read {path} (rc={got})")
+    return out[:got]

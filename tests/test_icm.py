@@ -107,3 +107,42 @@ def test_encode_chunked_matches_unchunked_shapes(rng):
     assert res.B.shape == (n, m)
     cost0 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C)))
     assert (res.cost <= cost0 + 1e-3).all()
+
+
+def test_condition_matmul_matches_gather_exactly_on_small_ints(rng):
+    """bf16 one-hot matmul conditioning == gather conditioning when all LUT
+    values are small integers (exactly representable in bf16)."""
+    import jax.numpy as jnp
+    from local_search_quantization_tpu.ops.icm import _condition, _condition_matmul
+
+    n, d, m, h = 32, 6, 4, 8
+    C = rng.integers(-2, 3, size=(m, h, d)).astype(np.float32)
+    X = rng.integers(-4, 5, size=(n, d)).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    unaries = luts.get_unaries(jnp.asarray(X), jnp.asarray(C))
+    binaries = luts.get_binaries(jnp.asarray(C))
+    for j in range(m):
+        a = np.asarray(
+            _condition(unaries[:, j, :], binaries[:, j], jnp.asarray(B), jnp.int32(j))
+        )
+        b = np.asarray(
+            _condition_matmul(
+                unaries[:, j, :], binaries[:, j], jnp.asarray(B), jnp.int32(j)
+            )
+        )
+        np.testing.assert_array_equal(a, b)
+
+
+def test_ils_encode_matmul_mode_invariants(rng):
+    n, d, m, h = 128, 16, 4, 16
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = (rng.normal(size=(m, h, d)) * 0.3).astype(np.float32)
+    B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    cost0 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C)))
+    res = icm.ils_encode(
+        jax.random.PRNGKey(1), jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C),
+        ilsiter=4, icmiter=2, npert=2, condition_mode="matmul",
+    )
+    newcost = np.asarray(costs.veccost(jnp.asarray(X), res.B, jnp.asarray(C)))
+    assert (newcost <= cost0 + 1e-3).all()
+    assert newcost.mean() < cost0.mean()

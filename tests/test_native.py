@@ -1,0 +1,77 @@
+"""Native host runtime (C++ scanner + readers) vs the Python/JAX paths."""
+
+import os
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from local_search_quantization_tpu.ops import adc, costs
+from local_search_quantization_tpu.utils import io, native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (make -C native)"
+)
+
+
+def test_native_linscan_matches_python(rng):
+    n, nq, d, m, h = 700, 9, 12, 3, 16
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    luts = np.asarray(adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C)))
+    k = 20
+
+    nd, ni = native.linscan(luts, B.astype(np.uint8), dbn, k)
+    ref = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=16,
+                          base_block=128)
+    np.testing.assert_allclose(nd, ref.dists, rtol=1e-4, atol=1e-4)
+    # ids equal modulo exact-distance ties
+    same = (ni == ref.ids).mean()
+    assert same > 0.95
+
+
+def test_native_linscan_no_extra(rng):
+    n, nq, m, h = 300, 4, 2, 8
+    luts = rng.normal(size=(nq, m, h)).astype(np.float32)
+    codes = rng.integers(0, h, size=(n, m)).astype(np.uint8)
+    nd, ni = native.linscan(luts, codes, None, 5)
+    # Oracle
+    for q in range(nq):
+        d = np.zeros(n, np.float32)
+        for j in range(m):
+            d += luts[q, j, codes[:, j]]
+        order = np.argsort(d, kind="stable")[:5]
+        np.testing.assert_allclose(np.sort(nd[q]), np.sort(d[order]), rtol=1e-5)
+
+
+def test_native_vecs_read_roundtrip(tmp_path, rng):
+    # Write an fvecs file, read through both paths.
+    n, d = 57, 9
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    path = str(tmp_path / "test.fvecs")
+    with open(path, "wb") as f:
+        for row in X:
+            np.int32(d).tofile(f)
+            row.tofile(f)
+    a = io.fvecs_read(path)
+    b = native.vecs_read(path, np.float32)
+    np.testing.assert_array_equal(a, X)
+    np.testing.assert_array_equal(b, X)
+    # Range read.
+    c = native.vecs_read(path, np.float32, offset=10, count=20)
+    np.testing.assert_array_equal(c, X[10:30])
+
+
+def test_native_vecs_read_corrupt(tmp_path):
+    path = str(tmp_path / "bad.fvecs")
+    with open(path, "wb") as f:
+        np.int32(4).tofile(f)
+        np.zeros(4, np.float32).tofile(f)
+        np.int32(5).tofile(f)  # inconsistent dim header
+        np.zeros(5, np.float32).tofile(f)
+    with pytest.raises(IOError):
+        native.vecs_read(path, np.float32)

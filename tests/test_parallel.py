@@ -1,0 +1,91 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from local_search_quantization_tpu.ops import adc, costs, icm, solver
+from local_search_quantization_tpu.parallel import data_mesh, replicated, shard_batch
+from local_search_quantization_tpu.parallel.encode import (
+    make_lsq_train_step,
+    sharded_ils_encode,
+    sharded_update_codebooks,
+)
+from local_search_quantization_tpu.parallel.query import sharded_linscan_lsq
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return data_mesh(jax.devices()[:8])
+
+
+def test_sharded_codebook_update_matches_single(rng, mesh):
+    n, d, m, h = 512, 8, 3, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    C1 = np.asarray(solver.update_codebooks(jnp.asarray(X), jnp.asarray(B), h))
+    C8 = np.asarray(
+        sharded_update_codebooks(
+            mesh, shard_batch(mesh, jnp.asarray(X)), shard_batch(mesh, jnp.asarray(B)), h
+        )
+    )
+    np.testing.assert_allclose(C1, C8, rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_ils_encode_improves_and_runs(rng, mesh):
+    n, d, m, h = 512, 8, 3, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = (rng.normal(size=(m, h, d)) * 0.4).astype(np.float32)
+    B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    cost0 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C)))
+    res = sharded_ils_encode(
+        mesh,
+        jax.random.PRNGKey(0),
+        shard_batch(mesh, jnp.asarray(X)),
+        shard_batch(mesh, jnp.asarray(B0)),
+        replicated(mesh, jnp.asarray(C)),
+        ilsiter=2,
+        icmiter=2,
+        npert=1,
+    )
+    newcost = np.asarray(res.cost)
+    assert (newcost <= cost0 + 1e-3).all()
+    assert newcost.mean() < cost0.mean()
+
+
+def test_lsq_train_step_end_to_end(rng, mesh):
+    n, d, m, h = 512, 8, 3, 8
+    X = shard_batch(mesh, jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)))
+    B = shard_batch(mesh, jnp.asarray(rng.integers(0, h, (n, m), dtype=np.int32)))
+    step = make_lsq_train_step(mesh, h, ilsiter=2, icmiter=2, npert=1)
+    C, B1, cost1 = step(jax.random.PRNGKey(0), X, B)
+    C2, B2, cost2 = step(jax.random.PRNGKey(1), X, B1)
+    # EM property: full steps never increase the mean objective.
+    assert float(cost2.mean()) <= float(cost1.mean()) * 1.001
+
+
+def test_sharded_query_matches_single_chip(rng, mesh):
+    n, nq, d, m, h = 1024, 16, 8, 3, 8
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    k = 10
+    single = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=16,
+                             base_block=256)
+    multi = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k,
+                                query_chunk=16, block=64)
+    np.testing.assert_allclose(multi.dists, single.dists, rtol=1e-4, atol=1e-4)
+    # ids may differ on exact ties; distances must agree.
+
+
+def test_graft_entry_single_and_multi():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    g.dryrun_multichip(8)
