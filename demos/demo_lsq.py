@@ -19,6 +19,7 @@ from local_search_quantization_tpu.models import train_chainq, train_lsq, train_
 from local_search_quantization_tpu.ops import adc, costs, icm, norms
 from local_search_quantization_tpu.utils.config import ChainQConfig, LSQConfig, OPQConfig
 from local_search_quantization_tpu.utils.eval import eval_recall
+from local_search_quantization_tpu.utils.checkpoint import load_model, save_model
 from local_search_quantization_tpu.utils.io import dataset_available, read_dataset
 from local_search_quantization_tpu.utils.synth import random_codes, synthetic_dataset
 
@@ -51,6 +52,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu) before any backend use")
+    ap.add_argument("--save-model", default=None, help="save trained LSQ model (.npz)")
+    ap.add_argument("--load-model", default=None,
+                    help="skip training; load an LSQ model saved by --save-model")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -58,6 +62,13 @@ def main():
 
     x_train, x_base, x_query, gt = load_data(args)
     m, h = args.m, args.h
+    lsq_cfg = LSQConfig(m=m, h=h, niter=args.niter, seed=args.seed)
+
+    if args.load_model:
+        lsq = load_model(args.load_model)
+        print(f"Loaded LSQ model from {args.load_model}")
+        run_pipeline_tail(args, lsq, lsq_cfg, x_base, x_query, gt)
+        return
 
     # === OPQ initialization ===
     t = time.time()
@@ -73,9 +84,17 @@ def main():
 
     # === LSQ train ===
     t = time.time()
-    lsq_cfg = LSQConfig(m=m, h=h, niter=args.niter, seed=args.seed)
     lsq = train_lsq(x_train, chain.B, chain.R, lsq_cfg, verbose=True)
     print(f"Error after LSQ is {float(lsq.obj[-1]):e}  ({time.time()-t:.1f}s)")
+    if args.save_model:
+        save_model(args.save_model, lsq)
+        print(f"Saved LSQ model to {args.save_model}")
+
+    run_pipeline_tail(args, lsq, lsq_cfg, x_base, x_query, gt)
+
+
+def run_pipeline_tail(args, lsq, lsq_cfg, x_base, x_query, gt):
+    m, h = args.m, args.h
 
     # === Encode the base set (LSQ-16) ===
     t = time.time()

@@ -24,6 +24,7 @@ arrives via scalar prefetch, so the random ICM order of the reference
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -77,8 +78,69 @@ def _icm_kernel(order_ref, u_ref, bin_ref, b_ref, out_ref, oh_ref, *, m: int,
     )
 
 
+def _icm_kernel_v2(order_ref, u_ref, bint_ref, b_ref, out_ref, oh_ref, *,
+                   m: int, h: int, nvisit: int):
+    """One-big-matmul variant: the one-hot state lives contiguously as
+    [tile, m*h], so conditioning codebook j is a single
+    [tile, m*h] x [m*h, h] MXU matmul against bint[j] (whose (j, j) block is
+    pre-zeroed, absorbing the k != j mask into the weights). 1 matmul/visit
+    instead of m — the per-op overhead of m small matmuls dominated v1.
+    """
+    tile = b_ref.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, h), dimension=1)
+    # NOTE: splitting the tile into interleaved row-group chains (for MXU/VPU
+    # overlap) and a [1, tile, m*h] grouped scratch were both measured SLOWER
+    # than this flat layout (2.26M -> 1.76M / 1.74M vec/s at tile=768); the
+    # single [tile, m*h] x [m*h, h] matmul per visit is the best form found.
+
+    for k in range(m):
+        oh_ref[:, k * h : (k + 1) * h] = (
+            b_ref[:, k : k + 1] == col_ids
+        ).astype(jnp.bfloat16)
+
+    def visit(s, carry):
+        j = order_ref[s]
+        w = bint_ref[pl.ds(j, 1)].reshape(m * h, h)  # bf16, (j,j) block zero
+        acc = u_ref[:, pl.ds(j, 1), :].reshape(tile, h)
+        cond = jax.lax.dot_general(
+            oh_ref[:, :],
+            w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        newcode = jnp.argmin(acc + cond, axis=-1)  # [tile] int32
+        off = pl.multiple_of(j * h, h)
+        oh_ref[:, pl.ds(off, h)] = (newcode[:, None] == col_ids).astype(
+            jnp.bfloat16
+        )
+        return carry
+
+    jax.lax.fori_loop(0, nvisit, visit, 0)
+
+    # Extract codes from the one-hot state (argmax only lowers for f32 in
+    # Mosaic, so cast; one-hot values are exactly 0/1 either way).
+    out_ref[:] = jnp.stack(
+        [
+            jnp.argmax(
+                oh_ref[:, k * h : (k + 1) * h].astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
+            for k in range(m)
+        ],
+        axis=1,
+    )
+
+
+def binaries_to_j_stacked(binaries_bf16):
+    """[m, m, h, h] -> [m, m*h, h] with the (j, j) diagonal blocks zeroed:
+    bint[j][k*h + a, c] = binaries[k, j][a, c], bint[j][j*h:(j+1)*h] = 0."""
+    m, _, h, _ = binaries_bf16.shape
+    bint = jnp.moveaxis(binaries_bf16, 1, 0)  # [j, k, h, h]
+    mask = (1 - jnp.eye(m, dtype=binaries_bf16.dtype))[:, :, None, None]
+    return (bint * mask).reshape(m, m * h, h)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("icmiter", "tile", "interpret")
+    jax.jit, static_argnames=("icmiter", "tile", "interpret", "variant")
 )
 def fused_icm_sweeps(
     B: Array,
@@ -87,8 +149,9 @@ def fused_icm_sweeps(
     order: Array,
     *,
     icmiter: int,
-    tile: int = 256,
+    tile: int | None = None,
     interpret: bool = False,
+    variant: str = "v2",
 ) -> Array:
     """Run icmiter full ICM sweeps in one fused kernel launch.
 
@@ -103,6 +166,12 @@ def fused_icm_sweeps(
     """
     n, m = B.shape
     h = unaries.shape[-1]
+    if tile is None:
+        # Best measured config at m=7, h=256 (see benchmarks/): 768 rows with
+        # the unaries block single-buffered. m=8 needs the smaller tile to
+        # fit bint (8.4 MB) + oh (4 MB) + unaries in VMEM.
+        default = 768 if m <= 7 else 512
+        tile = int(os.environ.get("LSQ_TPU_ICM_TILE", str(default)))
     pad = (-n) % tile
     if pad:
         B = jnp.concatenate([B, jnp.zeros((pad, m), B.dtype)])
@@ -111,6 +180,37 @@ def fused_icm_sweeps(
         )
     npad = n + pad
     visits = jnp.tile(order.astype(jnp.int32), icmiter)  # [icmiter * m]
+
+    if variant == "v2":
+        bint = binaries_to_j_stacked(binaries_bf16)  # [m, m*h, h]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(npad // tile,),
+            in_specs=[
+                # Single-buffer the unaries block: its DMA (~5 us) is dwarfed
+                # by per-tile compute (~100 us), and double-buffering it is
+                # what blows the VMEM budget at larger tiles.
+                pl.BlockSpec(
+                    (tile, m, h),
+                    lambda i, *_: (i, 0, 0),
+                    pipeline_mode=pl.Buffered(buffer_count=1),
+                ),
+                pl.BlockSpec((m, m * h, h), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((tile, m * h), jnp.bfloat16)],
+        )
+        kernel = functools.partial(
+            _icm_kernel_v2, m=m, h=h, nvisit=icmiter * m
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((npad, m), jnp.int32),
+            interpret=interpret,
+        )(visits, unaries, bint, B)
+        return out[:n]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -111,8 +111,11 @@ def kmeans(
 
     def cond(state):
         _, _, _, prev_cost, cost, it = state
-        rel_impr = (prev_cost - cost) / jnp.maximum(prev_cost, 1e-30)
-        return jnp.logical_and(it < maxiter, rel_impr > tol)
+        # Multiplicative form of (prev-cost)/prev > tol: division by the
+        # float32-max sentinel computes a subnormal reciprocal that the TPU
+        # flushes to zero, silently ending the loop at iteration 0.
+        improved = (prev_cost - cost) > tol * prev_cost
+        return jnp.logical_and(it < maxiter, improved)
 
     def body(state):
         centers, labels, costs, _, cost, it = state

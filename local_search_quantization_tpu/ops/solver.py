@@ -296,3 +296,50 @@ def update_codebooks_chain(
         C[s, :, a:b] += Khost[s, :h, :ds]
         C[s + 1, :, a:b] += Khost[s, h:, :ds]
     return jnp.asarray(C)
+
+
+def update_codebooks_struct(
+    X: Array,
+    B: Array,
+    h: int,
+    dim2cb: np.ndarray,
+    *,
+    ridge: float = 1e-4,
+) -> Array:
+    """Generic structured codebook update: each dimension is covered by an
+    arbitrary subset of codebooks.
+
+    dim2cb: [d, m] bool — dim2cb[dim, i] iff codebook i spans dimension
+    `dim` (the reference's dim2C map; update_codebooks_generic,
+    codebook_update.jl:119-158). Dimensions sharing a coverage pattern are
+    grouped and each group gets one restricted dense normal-equation solve.
+    Returns full-dimensional C [m, h, d] (zero outside each codebook's span).
+    """
+    X = jnp.asarray(X)
+    n, d = X.shape
+    m = B.shape[1]
+    dim2cb = np.asarray(dim2cb, bool)
+    assert dim2cb.shape == (d, m), (dim2cb.shape, (d, m))
+
+    # Group dims by identical coverage pattern (few groups in practice).
+    patterns: dict[tuple, list[int]] = {}
+    for dim in range(d):
+        patterns.setdefault(tuple(dim2cb[dim]), []).append(dim)
+
+    G_full, AtX_full = code_gram(B, X, h)  # [mh, mh], [mh, d]
+    C = np.zeros((m, h, d), np.float32)
+    for pat, dims in patterns.items():
+        active = [i for i in range(m) if pat[i]]
+        if not active:
+            continue
+        cols = np.concatenate([np.arange(i * h, (i + 1) * h) for i in active])
+        G = jnp.asarray(np.asarray(G_full)[np.ix_(cols, cols)])
+        AtX = jnp.asarray(np.asarray(AtX_full)[cols][:, dims])
+        lam = ridge * jnp.trace(G) / G.shape[0]
+        K = jax.scipy.linalg.solve(
+            G + lam * jnp.eye(G.shape[0], dtype=G.dtype), AtX, assume_a="pos"
+        )  # [|active|*h, |dims|]
+        Khost = np.asarray(K).reshape(len(active), h, len(dims))
+        for ai, i in enumerate(active):
+            C[i, :, dims] += Khost[ai].T
+    return jnp.asarray(C)

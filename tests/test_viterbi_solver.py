@@ -126,3 +126,40 @@ def test_chain_update_is_optimal_for_chain_design(rng):
             (A @ C.reshape(m * h, d)[:, dim] - X[:, dim]) ** 2
         )
     np.testing.assert_allclose(resid_ours, resid_opt, rtol=1e-3)
+
+
+def test_update_codebooks_struct_generic(rng):
+    """Generic structured solver: chain pattern must match the chain solver's
+    achieved residual; full pattern must match the unstructured solver."""
+    n, d, m, h = 300, 8, 3, 4
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+
+    # Chain coverage pattern.
+    dim2cb = np.zeros((d, m), bool)
+    for i, (a, b) in enumerate(solver.chain_dims(d, m)):
+        dim2cb[a:b, i] = True
+    Cg = np.asarray(
+        solver.update_codebooks_struct(jnp.asarray(X), jnp.asarray(B), h, dim2cb)
+    )
+    Cc = np.asarray(solver.update_codebooks_chain(jnp.asarray(X), jnp.asarray(B), h))
+    A = dense_design(B, h)
+    r_g = np.linalg.norm(A @ Cg.reshape(m * h, d) - X)
+    r_c = np.linalg.norm(A @ Cc.reshape(m * h, d) - X)
+    np.testing.assert_allclose(r_g, r_c, rtol=1e-3)
+    # Zero outside spans.
+    for i in range(m):
+        outside = ~dim2cb[:, i]
+        if outside.any():
+            assert np.abs(Cg[i, :, outside]).max() < 1e-6
+
+    # Full coverage == unstructured solve.
+    Cfull = np.asarray(
+        solver.update_codebooks_struct(
+            jnp.asarray(X), jnp.asarray(B), h, np.ones((d, m), bool)
+        )
+    )
+    Cu = np.asarray(solver.update_codebooks(jnp.asarray(X), jnp.asarray(B), h))
+    r_full = np.linalg.norm(A @ Cfull.reshape(m * h, d) - X)
+    r_u = np.linalg.norm(A @ Cu.reshape(m * h, d) - X)
+    np.testing.assert_allclose(r_full, r_u, rtol=1e-3)
