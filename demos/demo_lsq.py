@@ -32,9 +32,13 @@ def load_data(args):
         gt = read_dataset(args.dataset + "_groundtruth", args.nquery)[:, 0]
         return x_train, x_base, x_query, gt
     print(f"[demo] dataset {args.dataset} not found on disk; using synthetic data")
-    d = synthetic_dataset(0, d=64, n_train=args.ntrain,
-                          n_base=min(args.nbase, 100_000),
-                          n_query=min(args.nquery, 1000))
+    d = synthetic_dataset(
+        0,
+        d=getattr(args, "synth_d", 64),
+        n_train=args.ntrain,
+        n_base=min(args.nbase, 1_000_000),
+        n_query=min(args.nquery, 10_000),
+    )
     return d.train, d.base, d.query, d.gt
 
 
@@ -52,6 +56,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu) before any backend use")
+    ap.add_argument("--synth-d", type=int, default=64,
+                    help="dimensionality of the synthetic fallback dataset")
     ap.add_argument("--save-model", default=None, help="save trained LSQ model (.npz)")
     ap.add_argument("--load-model", default=None,
                     help="skip training; load an LSQ model saved by --save-model")

@@ -65,28 +65,49 @@ def lut_scan_block(
     B_block: Array,
     extra: Array | None = None,
     pvary_axis: str | None = None,
+    mode: str = "matmul",
 ) -> Array:
     """Sum LUT entries for one base block: [nq, m, h] x [nb, m] -> [nq, nb].
+
+    mode="matmul" (default): dist = flat_lut . onehot(flat_codes) — ONE
+    [nq, m*h] x [m*h, nb] contraction on the MXU at 3-pass bf16 precision
+    (rel ~1e-6, far below ADC quantization error). mode="gather": per-
+    codebook column gathers (the literal transcription of the C++ scanner's
+    lookup loop, linscan_aqd.cpp:82-89) — VPU/HBM-bound, kept as oracle.
 
     extra: optional [nb] additive term (quantized database norms for the
     additive-code scanner).
     """
+    nq = luts.shape[0]
     m = B_block.shape[1]
+    nb = B_block.shape[0]
 
-    def body(i, acc):
-        # luts[:, i, :] is [nq, h]; gather columns by this codebook's codes.
-        return acc + jnp.take(luts[:, i, :], B_block[:, i], axis=1)
+    if mode == "matmul":
+        h = luts.shape[2]
+        onehot = jax.nn.one_hot(B_block, h, dtype=jnp.float32)  # [nb, m, h]
+        acc = jax.lax.dot_general(
+            luts.reshape(nq, m * h),
+            onehot.reshape(nb, m * h),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        )
+    else:
+        def body(i, acc):
+            # luts[:, i, :] is [nq, h]; gather columns by codebook i's codes.
+            return acc + jnp.take(luts[:, i, :], B_block[:, i], axis=1)
 
-    acc0 = jnp.zeros((luts.shape[0], B_block.shape[0]), jnp.float32)
-    if pvary_axis is not None:
-        acc0 = jax.lax.pcast(acc0, pvary_axis, to="varying")
-    acc = jax.lax.fori_loop(0, m, body, acc0)
+        acc0 = jnp.zeros((nq, nb), jnp.float32)
+        if pvary_axis is not None:
+            acc0 = jax.lax.pcast(acc0, pvary_axis, to="varying")
+        acc = jax.lax.fori_loop(0, m, body, acc0)
     if extra is not None:
         acc = acc + extra[None, :]
     return acc
 
 
-@partial(jax.jit, static_argnames=("k", "block", "pvary_axis"))
+@partial(jax.jit,
+         static_argnames=("k", "block", "pvary_axis", "mode", "topk_method"))
 def _scan_topk(
     luts: Array,
     B: Array,
@@ -94,13 +115,26 @@ def _scan_topk(
     k: int,
     block: int,
     pvary_axis: str | None = None,
+    mode: str = "matmul",
+    topk_method: str = "exact",
 ) -> KNNResult:
     """Streaming top-k ADC scan of the full base set for one query chunk.
 
     `lax.scan` over base blocks; each step computes the [nq, block] distance
     tile and merges it into the running top-k (negated so lax.top_k's
     "largest" semantics give smallest distances).
+
+    topk_method: "exact" uses lax.top_k (exact but ~linear-in-candidates
+    cost — it dominates large-k queries); "approx" / "approx:0.99" uses the
+    TPU-optimized lax.approx_max_k per block with the given recall target
+    (default 0.95), followed by an exact merge — ~2x faster at k=1000, at
+    the cost of a per-element miss probability of (1 - recall_target).
     """
+    recall_target = None
+    if topk_method.startswith("approx"):
+        recall_target = (
+            float(topk_method.split(":", 1)[1]) if ":" in topk_method else 0.95
+        )
     nq = luts.shape[0]
     n = B.shape[0]
     nblocks = n // block
@@ -115,13 +149,22 @@ def _scan_topk(
         best_nd, best_id = carry  # [nq, k] negated dists, ids
         bi, (Bblk, eblk) = inp
         tile = lut_scan_block(
-            luts, Bblk, eblk if extra is not None else None, pvary_axis=pvary_axis
+            luts, Bblk, eblk if extra is not None else None,
+            pvary_axis=pvary_axis, mode=mode,
         )
         ids = bi * block + jnp.arange(block, dtype=jnp.int32)[None, :]
-        cand_nd = jnp.concatenate([best_nd, -tile], axis=1)
-        cand_id = jnp.concatenate(
-            [best_id, jnp.broadcast_to(ids, (nq, block))], axis=1
-        )
+        if recall_target is not None:
+            bnd, bpos = jax.lax.approx_max_k(-tile, k, recall_target=recall_target)
+            bid = jnp.take_along_axis(
+                jnp.broadcast_to(ids, (nq, block)), bpos, axis=1
+            )
+            cand_nd = jnp.concatenate([best_nd, bnd], axis=1)
+            cand_id = jnp.concatenate([best_id, bid], axis=1)
+        else:
+            cand_nd = jnp.concatenate([best_nd, -tile], axis=1)
+            cand_id = jnp.concatenate(
+                [best_id, jnp.broadcast_to(ids, (nq, block))], axis=1
+            )
         nd, pos = jax.lax.top_k(cand_nd, k)
         return (nd, jnp.take_along_axis(cand_id, pos, axis=1)), None
 
@@ -147,6 +190,8 @@ def _run_scan(
     extra=None,
     query_chunk: int = 256,
     base_block: int = 1 << 16,
+    mode: str = "matmul",
+    topk_method: str = "exact",
 ) -> KNNResult:
     """Driver: chunk queries on host, pad base to a block multiple, scan."""
     Q = np.asarray(Q)
@@ -178,7 +223,8 @@ def _run_scan(
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(jnp.asarray(qc))
-        res = _scan_topk(luts, Bj, extraj, k, base_block)
+        res = _scan_topk(luts, Bj, extraj, k, base_block, mode=mode,
+                         topk_method=topk_method)
         out_d.append(np.asarray(res.dists)[: query_chunk - npad])
         out_i.append(np.asarray(res.ids)[: query_chunk - npad])
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))

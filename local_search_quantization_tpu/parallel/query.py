@@ -72,6 +72,51 @@ def sharded_scan_topk(
     return KNNResult(-nd, jnp.take_along_axis(id_all, pos, axis=1))
 
 
+def sharded_linscan_pq(
+    mesh: Mesh,
+    B,
+    Q,
+    C_sub: Array,
+    k: int,
+    *,
+    R: Array | None = None,
+    query_chunk: int = 1024,
+    block: int = 1 << 15,
+) -> KNNResult:
+    """Multi-chip PQ/OPQ scanner: shard codes, replicate subspace LUTs.
+
+    Pass R to rotate queries into code space first (OPQ).
+    """
+    from local_search_quantization_tpu.parallel.mesh import replicated, shard_batch
+
+    B = np.asarray(B)
+    Q = np.asarray(Q)
+    if R is not None:
+        Q = Q @ np.asarray(R)
+    n = B.shape[0]
+    nshards = int(np.prod(list(mesh.shape.values())))
+    pad = (-n) % (nshards * block)
+    extra = np.zeros(n, np.float32)
+    if pad:
+        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
+        extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
+    Bs = shard_batch(mesh, jnp.asarray(B))
+    es = shard_batch(mesh, jnp.asarray(extra))
+    Cr = replicated(mesh, jnp.asarray(C_sub))
+
+    out_d, out_i = [], []
+    for start in range(0, Q.shape[0], query_chunk):
+        qc = Q[start : start + query_chunk]
+        npad = query_chunk - qc.shape[0]
+        if npad:
+            qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
+        luts = pq_query_luts(replicated(mesh, jnp.asarray(qc)), Cr)
+        res = sharded_scan_topk(mesh, luts, Bs, es, k, block=block)
+        out_d.append(np.asarray(res.dists)[: query_chunk - npad])
+        out_i.append(np.asarray(res.ids)[: query_chunk - npad])
+    return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
+
+
 def sharded_linscan_lsq(
     mesh: Mesh,
     B,

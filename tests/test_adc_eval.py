@@ -99,3 +99,21 @@ def test_quantize_norms_roundtrip(rng):
     # every assignment is the argmin.
     d2 = (true[:, None] - np.asarray(cbnorms)[None, :]) ** 2
     np.testing.assert_array_equal(np.asarray(codes2), np.argmin(d2, axis=1))
+
+
+def test_linscan_approx_topk_mode(rng):
+    n, nq, d, m, h = 512, 4, 8, 2, 8
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbnorms = np.sum(recon * recon, axis=1).astype(np.float32)
+    exact = adc.linscan_lsq(B, Q, jnp.asarray(C), dbnorms, k=10, query_chunk=4,
+                            base_block=128)
+    approx = adc.linscan_lsq(B, Q, jnp.asarray(C), dbnorms, k=10, query_chunk=4,
+                             base_block=128, topk_method="approx:0.99")
+    # High-recall approximate top-k recovers almost all of the exact set.
+    overlap = np.mean([
+        len(set(approx.ids[q]) & set(exact.ids[q])) / 10 for q in range(nq)
+    ])
+    assert overlap > 0.8

@@ -89,3 +89,19 @@ def test_graft_entry_single_and_multi():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     g.dryrun_multichip(8)
+
+
+def test_sharded_pq_query_matches_single(rng, mesh):
+    from local_search_quantization_tpu.models import train_pq
+    from local_search_quantization_tpu.parallel.query import sharded_linscan_pq
+    from local_search_quantization_tpu.utils.config import PQConfig
+
+    X = rng.normal(size=(400, 16)).astype(np.float32)
+    model = train_pq(X, PQConfig(m=4, h=8))
+    Q = rng.normal(size=(12, 16)).astype(np.float32)
+    k = 7
+    single = adc.linscan_pq(np.asarray(model.B), Q, model.C_sub, k=k,
+                            query_chunk=16, base_block=128)
+    multi = sharded_linscan_pq(mesh, np.asarray(model.B), Q, model.C_sub, k,
+                               query_chunk=16, block=64)
+    np.testing.assert_allclose(multi.dists, single.dists, rtol=1e-4, atol=1e-4)
