@@ -49,7 +49,10 @@ def main():
     C = jnp.asarray((rng.normal(size=(m, h, d)) * 36.0).astype(np.float32))
     B = jnp.asarray(rng.integers(0, h, size=(n, m), dtype=np.int32))
     key = jax.random.PRNGKey(0)
-    mode = "fused" if jax.default_backend() == "tpu" else "gather"
+    import os
+
+    default_mode = "kernel" if jax.default_backend() == "tpu" else "gather"
+    mode = os.environ.get("LSQ_TPU_BENCH_MODE", default_mode)
 
     def run(ils_rounds: int) -> float:
         fn = jax.jit(

@@ -130,6 +130,212 @@ def _icm_kernel_v2(order_ref, u_ref, bint_ref, b_ref, out_ref, oh_ref, *,
     )
 
 
+def _ils_kernel(visits_ref, u_ref, bint_ref, xsq_ref, b_ref, pkeys_ref,
+                pcodes_ref, out_b_ref, out_cost_ref, oh_ref, *, m: int, h: int,
+                icmiter: int, rounds: int, npert: int):
+    """Whole-ILS kernel: rounds x (perturb -> ICM sweeps -> cost ->
+    accept-if-better) with codes resident in VMEM for the entire encode.
+
+    Everything the reference round-trips to the host for per ILS iteration
+    (curand perturbation, per-visit LUT uploads, cost + accept on host;
+    encode_icm_cuda.jl:124-223) happens in-kernel: perturbation randomness is
+    precomputed with jax.random and streamed in (tiny blocks), conditioning
+    is one-hot x LUT matmuls, cost is the MRF decomposition (bf16 LUTs;
+    accept decisions compare costs computed identically, so the per-vector
+    non-increase holds in the bf16-LUT metric and to ~1e-3 relative in exact
+    fp32).
+    """
+    tile = b_ref.shape[0]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, h), dimension=1)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (tile, m), dimension=1)
+
+    def set_oh_from_codes(codes):
+        # codes [tile, m] int32 -> one-hot state.
+        for k in range(m):
+            oh_ref[:, k * h : (k + 1) * h] = (
+                codes[:, k : k + 1] == col_ids
+            ).astype(jnp.bfloat16)
+
+    def extract_codes():
+        return jnp.stack(
+            [
+                jnp.argmax(
+                    oh_ref[:, k * h : (k + 1) * h].astype(jnp.float32), axis=-1
+                ).astype(jnp.int32)
+                for k in range(m)
+            ],
+            axis=1,
+        )
+
+    def state_cost():
+        # cost = ||x||^2 + sum_k u_k[b_k] + 0.5 * sum_j oh_j . (OH @ bint_j)
+        total = xsq_ref[:, 0]
+        pair = jnp.zeros((tile,), jnp.float32)
+        for k in range(m):
+            ohk = oh_ref[:, k * h : (k + 1) * h].astype(jnp.float32)
+            total = total + jnp.sum(ohk * u_ref[:, k, :], axis=-1)
+            condk = jax.lax.dot_general(
+                oh_ref[:, :],
+                bint_ref[k],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pair = pair + jnp.sum(ohk * condk, axis=-1)
+        return total + 0.5 * pair
+
+    set_oh_from_codes(b_ref[:])
+    best_codes = b_ref[:]
+    best_cost = state_cost()
+
+    def one_round(r, carry):
+        best_codes, best_cost = carry
+
+        # --- Perturb npert distinct codebooks per row with random codes ---
+        keys = pkeys_ref[r]  # [tile, m] f32 iid uniforms
+        rnd_codes = pcodes_ref[r]  # [tile, npert] int32 in [0, h)
+        def pick(p, keys):
+            pos = jnp.argmin(keys, axis=-1).astype(jnp.int32)  # [tile]
+            keys = jnp.where(lane_m == pos[:, None], jnp.float32(1e30), keys)
+            newoh = (rnd_codes[:, p : p + 1] == col_ids).astype(jnp.bfloat16)
+            for k in range(m):
+                sel = (pos == k)[:, None]
+                oh_ref[:, k * h : (k + 1) * h] = jnp.where(
+                    sel, newoh, oh_ref[:, k * h : (k + 1) * h]
+                )
+            return keys
+        for p in range(npert):  # npert is small and static
+            keys = pick(p, keys)
+
+        # --- ICM sweeps (visit sequence is per-round, scalar-prefetched) ---
+        def visit(t, carry2):
+            j = visits_ref[r * (icmiter * m) + t]
+            w = bint_ref[pl.ds(j, 1)].reshape(m * h, h)
+            acc = u_ref[:, pl.ds(j, 1), :].reshape(tile, h)
+            cond = jax.lax.dot_general(
+                oh_ref[:, :], w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            newcode = jnp.argmin(acc + cond, axis=-1)
+            newoh = (newcode[:, None] == col_ids).astype(jnp.bfloat16)
+            for jj in range(m):  # predicated static writes: dynamic-lane
+                @pl.when(j == jj)  # stores cost ~3x the whole visit
+                def _():
+                    oh_ref[:, jj * h : (jj + 1) * h] = newoh
+            return carry2
+
+        jax.lax.fori_loop(0, icmiter * m, visit, 0)
+
+        # --- Accept-if-better, restore state otherwise ---
+        newcost = state_cost()
+        better = newcost < best_cost
+        cand = extract_codes()
+        best_codes = jnp.where(better[:, None], cand, best_codes)
+        best_cost = jnp.where(better, newcost, best_cost)
+        bet = better[:, None]
+        for k in range(m):
+            keep = oh_ref[:, k * h : (k + 1) * h]
+            restored = (best_codes[:, k : k + 1] == col_ids).astype(jnp.bfloat16)
+            oh_ref[:, k * h : (k + 1) * h] = jnp.where(bet, keep, restored)
+        return best_codes, best_cost
+
+    best_codes, best_cost = jax.lax.fori_loop(
+        0, rounds, one_round, (best_codes, best_cost)
+    )
+    out_b_ref[:] = best_codes
+    out_cost_ref[:] = best_cost[:, None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ilsiter", "icmiter", "npert", "tile", "interpret")
+)
+def fused_ils_encode(
+    key: Array,
+    orders: Array,
+    unaries: Array,
+    binaries_bf16: Array,
+    xsq: Array,
+    B: Array,
+    *,
+    ilsiter: int,
+    icmiter: int,
+    npert: int,
+    tile: int | None = None,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Run the ENTIRE ILS encode (ilsiter rounds) in one kernel launch.
+
+    Args:
+      key: jax PRNG key for the perturbation randomness (precomputed on host
+        side of the kernel and streamed in as tiny per-tile blocks).
+      orders: [ilsiter, m] int32 per-round ICM visit permutations.
+      unaries/binaries_bf16/B: as in fused_icm_sweeps; xsq: per-vector
+        ||x||^2 for the in-kernel cost.
+
+    Returns (codes [n, m] int32, cost [n] float32). The cost is the MRF
+    decomposition with bf16 pairwise LUTs (~1e-3 relative of exact fp32).
+    """
+    n, m = B.shape
+    h = unaries.shape[-1]
+    if tile is None:
+        default = 640 if m <= 7 else 448
+        tile = int(os.environ.get("LSQ_TPU_ILS_TILE", str(default)))
+    pad = (-n) % tile
+    if pad:
+        B = jnp.concatenate([B, jnp.zeros((pad, m), B.dtype)])
+        unaries = jnp.concatenate([unaries, jnp.zeros((pad, m, h))])
+        xsq = jnp.concatenate([xsq, jnp.zeros((pad,), xsq.dtype)])
+    npad = n + pad
+    bint = binaries_to_j_stacked(binaries_bf16)
+    visits = jnp.repeat(
+        orders.astype(jnp.int32), icmiter, axis=0
+    ).reshape(-1)  # [ilsiter * icmiter * m]; same order within a round
+
+    kkeys, kcodes = jax.random.split(key)
+    pert_keys = jax.random.uniform(kkeys, (ilsiter, npad, m), jnp.float32)
+    pert_codes = jax.random.randint(
+        kcodes, (ilsiter, npad, npert), 0, h, dtype=jnp.int32
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # visits
+        grid=(npad // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, m, h), lambda i, *_: (i, 0, 0),
+                         pipeline_mode=pl.Buffered(buffer_count=1)),
+            pl.BlockSpec((m, m * h, h), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((tile, 1), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
+            pl.BlockSpec((ilsiter, tile, m), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((ilsiter, tile, npert), lambda i, *_: (0, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, *_: (i, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, m * h), jnp.bfloat16)],
+    )
+    kernel = functools.partial(
+        _ils_kernel, m=m, h=h, icmiter=icmiter, rounds=ilsiter, npert=npert
+    )
+    out_b, out_cost = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, m), jnp.int32),
+            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+        ],
+        # The default 16 MB scoped-vmem cap is conservative; v5e cores have
+        # far more VMEM and this kernel's working set + compiler temporaries
+        # need headroom.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(visits, unaries, bint, xsq[:, None], B, pert_keys, pert_codes)
+    return out_b[:n], out_cost[:n, 0]
+
+
 def binaries_to_j_stacked(binaries_bf16):
     """[m, m, h, h] -> [m, m*h, h] with the (j, j) diagonal blocks zeroed:
     bint[j][k*h + a, c] = binaries[k, j][a, c], bint[j][j*h:(j+1)*h] = 0."""
