@@ -16,6 +16,7 @@ def main():
     n, d, m, h = 1_000_000, 128, 7, 256
     nq = 1024
     mode = sys.argv[1] if len(sys.argv) > 1 else "matmul"
+    topk_method = sys.argv[4] if len(sys.argv) > 4 else "exact"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     base_block = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 16)
     rng = np.random.default_rng(0)
@@ -27,22 +28,25 @@ def main():
     # Warm-up chunk (compiles the scan).
     t0 = time.perf_counter()
     adc.linscan_lsq(B[:base_block], Q[:256], jnp.asarray(C), dbn[:base_block],
-                    k=k, query_chunk=256, mode=mode, base_block=base_block)
+                    k=k, query_chunk=256, mode=mode, base_block=base_block,
+                    topk_method=topk_method)
     print(f"[warmup+compile {time.perf_counter()-t0:.1f}s]", file=sys.stderr)
 
     t0 = time.perf_counter()
     res = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=256,
-                          mode=mode, base_block=base_block)
+                          mode=mode, base_block=base_block,
+                          topk_method=topk_method)
     dt = time.perf_counter() - t0
     # NOTE: second run needs a fresh compile for the full-size base; the
     # timing above includes that — subtract via a second identical-shape run.
     t0 = time.perf_counter()
     res = adc.linscan_lsq(B, Q + 1.0, jnp.asarray(C), dbn, k=k,
-                          query_chunk=256, mode=mode, base_block=base_block)
+                          query_chunk=256, mode=mode, base_block=base_block,
+                          topk_method=topk_method)
     dt2 = time.perf_counter() - t0
     qps = nq / dt2
     codes_per_sec = qps * n
-    print(f"mode={mode}: {qps:,.0f} qps over {n:,} codes (k={k}) "
+    print(f"mode={mode}/{topk_method}: {qps:,.0f} qps over {n:,} codes (k={k}) "
           f"= {codes_per_sec:.3e} code-dists/s  [first={dt:.1f}s steady={dt2:.1f}s]")
 
 

@@ -181,6 +181,61 @@ def _scan_topk(
     return KNNResult(-nd, ids)
 
 
+@partial(jax.jit, static_argnames=("k", "block", "mode", "group"))
+def _scan_topk_twopass(
+    luts: Array,
+    B: Array,
+    extra: Array | None,
+    k: int,
+    block: int,
+    mode: str = "matmul",
+    group: int = 128,
+) -> KNNResult:
+    """EXACT top-k via a group-minima tournament (two passes).
+
+    Pass 1 streams the distance tiles to HBM and keeps per-group (width
+    `group`) minima. The groups holding the true top-k all have a minimum
+    <= the k-th smallest value, so the k groups with smallest minima are a
+    provable superset — pass 2 re-selects exactly within those k*group
+    candidates. Replaces the per-block lax.top_k merge (which dominates the
+    streaming scan ~10:1 at k=1000) with ONE top-k over n/group minima and
+    ONE over k*group candidates.
+    """
+    nq = luts.shape[0]
+    n = B.shape[0]
+    nblocks = n // block
+    Bb = B.reshape(nblocks, block, B.shape[1])
+    extrab = (
+        extra.reshape(nblocks, block)
+        if extra is not None
+        else jnp.zeros((nblocks, 0), jnp.float32)
+    )
+
+    def step(carry, inp):
+        Bblk, eblk = inp
+        tile = lut_scan_block(
+            luts, Bblk, eblk if extra is not None else None, mode=mode
+        )
+        gmin = jnp.min(tile.reshape(nq, block // group, group), axis=-1)
+        return carry, (tile, gmin)
+
+    _, (tiles, gmins) = jax.lax.scan(step, 0, (Bb, extrab))
+    # tiles: [nblocks, nq, block] -> dists [nq, n]
+    dists = jnp.moveaxis(tiles, 1, 0).reshape(nq, n)
+    gmins = jnp.moveaxis(gmins, 1, 0).reshape(nq, n // group)
+
+    kg = min(k, n // group)
+    _, gidx = jax.lax.top_k(-gmins, kg)  # [nq, kg] winning groups
+    cand_idx = (
+        gidx[:, :, None] * group
+        + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+    ).reshape(nq, kg * group)
+    cand = jnp.take_along_axis(dists, cand_idx, axis=1)
+    nd, pos = jax.lax.top_k(-cand, k)
+    ids = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return KNNResult(-nd, ids.astype(jnp.int32))
+
+
 def _run_scan(
     luts_fn,
     Q,
@@ -223,8 +278,11 @@ def _run_scan(
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(jnp.asarray(qc))
-        res = _scan_topk(luts, Bj, extraj, k, base_block, mode=mode,
-                         topk_method=topk_method)
+        if topk_method == "twopass" and k * 128 < Bj.shape[0]:
+            res = _scan_topk_twopass(luts, Bj, extraj, k, base_block, mode=mode)
+        else:
+            res = _scan_topk(luts, Bj, extraj, k, base_block, mode=mode,
+                             topk_method=topk_method)
         out_d.append(np.asarray(res.dists)[: query_chunk - npad])
         out_i.append(np.asarray(res.ids)[: query_chunk - npad])
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))

@@ -130,9 +130,9 @@ def _icm_kernel_v2(order_ref, u_ref, bint_ref, b_ref, out_ref, oh_ref, *,
     )
 
 
-def _ils_kernel(visits_ref, u_ref, bint_ref, xsq_ref, b_ref, pkeys_ref,
-                pcodes_ref, out_b_ref, out_cost_ref, oh_ref, *, m: int, h: int,
-                icmiter: int, rounds: int, npert: int):
+def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
+                pkeys_ref, pcodes_ref, out_b_ref, out_cost_ref, oh_ref, *,
+                m: int, h: int, icmiter: int, rounds: int, npert: int):
     """Whole-ILS kernel: rounds x (perturb -> ICM sweeps -> cost ->
     accept-if-better) with codes resident in VMEM for the entire encode.
 
@@ -168,20 +168,22 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, xsq_ref, b_ref, pkeys_ref,
         )
 
     def state_cost():
-        # cost = ||x||^2 + sum_k u_k[b_k] + 0.5 * sum_j oh_j . (OH @ bint_j)
-        total = xsq_ref[:, 0]
-        pair = jnp.zeros((tile,), jnp.float32)
-        for k in range(m):
-            ohk = oh_ref[:, k * h : (k + 1) * h].astype(jnp.float32)
-            total = total + jnp.sum(ohk * u_ref[:, k, :], axis=-1)
-            condk = jax.lax.dot_general(
-                oh_ref[:, :],
-                bint_ref[k],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            pair = pair + jnp.sum(ohk * condk, axis=-1)
-        return total + 0.5 * pair
+        # cost = ||x||^2 + <OH, U_flat> + 0.5 * <OH, OH @ BINT_ALL> —
+        # one [tile, mh] x [mh, mh] matmul + two fused multiply-reduces
+        # (replaces m separate matmuls; fewer live temporaries in VMEM).
+        ohf = oh_ref[:, :].astype(jnp.float32)  # [tile, m*h]
+        u_flat = u_ref[:, :, :].reshape(tile, m * h)
+        cond_all = jax.lax.dot_general(
+            oh_ref[:, :],
+            bint_all_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tile, m*h]
+        return (
+            xsq_ref[:, 0]
+            + jnp.sum(ohf * u_flat, axis=-1)
+            + 0.5 * jnp.sum(ohf * cond_all, axis=-1)
+        )
 
     set_oh_from_codes(b_ref[:])
     best_codes = b_ref[:]
@@ -287,6 +289,11 @@ def fused_ils_encode(
         xsq = jnp.concatenate([xsq, jnp.zeros((pad,), xsq.dtype)])
     npad = n + pad
     bint = binaries_to_j_stacked(binaries_bf16)
+    # Same data laid out for the one-shot cost matmul: column blocks by j.
+    # bint_all[k*h + a, j*h + c] = binaries[k, j][a, c], diagonal blocks 0.
+    bint_all = jnp.moveaxis(
+        bint.reshape(m, m, h, h), 0, 1
+    ).reshape(m * h, m * h)
     visits = jnp.repeat(
         orders.astype(jnp.int32), icmiter, axis=0
     ).reshape(-1)  # [ilsiter * icmiter * m]; same order within a round
@@ -304,6 +311,7 @@ def fused_ils_encode(
             pl.BlockSpec((tile, m, h), lambda i, *_: (i, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1)),
             pl.BlockSpec((m, m * h, h), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((m * h, m * h), lambda i, *_: (0, 0)),
             pl.BlockSpec((tile, 1), lambda i, *_: (i, 0)),
             pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
             pl.BlockSpec((ilsiter, tile, m), lambda i, *_: (0, i, 0)),
@@ -332,7 +340,7 @@ def fused_ils_encode(
             vmem_limit_bytes=127 * 1024 * 1024
         ),
         interpret=interpret,
-    )(visits, unaries, bint, xsq[:, None], B, pert_keys, pert_codes)
+    )(visits, unaries, bint, bint_all, xsq[:, None], B, pert_keys, pert_codes)
     return out_b[:n], out_cost[:n, 0]
 
 

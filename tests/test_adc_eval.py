@@ -117,3 +117,21 @@ def test_linscan_approx_topk_mode(rng):
         len(set(approx.ids[q]) & set(exact.ids[q])) / 10 for q in range(nq)
     ])
     assert overlap > 0.8
+
+
+def test_linscan_twopass_exactly_matches_streaming(rng):
+    """The group-minima tournament is EXACT: identical distances to the
+    streaming lax.top_k path."""
+    n, nq, d, m, h = 4096, 6, 8, 3, 8
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbnorms = np.sum(recon * recon, axis=1).astype(np.float32)
+    k = 17
+    exact = adc.linscan_lsq(B, Q, jnp.asarray(C), dbnorms, k=k, query_chunk=8,
+                            base_block=1024)
+    two = adc.linscan_lsq(B, Q, jnp.asarray(C), dbnorms, k=k, query_chunk=8,
+                          base_block=1024, topk_method="twopass")
+    np.testing.assert_allclose(np.asarray(two.dists), np.asarray(exact.dists),
+                               rtol=1e-5, atol=1e-5)
