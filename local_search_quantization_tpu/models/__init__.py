@@ -4,10 +4,12 @@ from local_search_quantization_tpu.models.chainq import ChainQModel, train_chain
 from local_search_quantization_tpu.models.lsq import LSQModel, train_lsq
 from local_search_quantization_tpu.models.opq import OPQModel, quantize_opq, train_opq
 from local_search_quantization_tpu.models.pq import PQModel, quantize_pq, train_pq
+from local_search_quantization_tpu.models.slsq import SLSQModel, train_lsq_sparse
 
 __all__ = [
     "PQModel", "train_pq", "quantize_pq",
     "OPQModel", "train_opq", "quantize_opq",
     "ChainQModel", "train_chainq",
     "LSQModel", "train_lsq",
+    "SLSQModel", "train_lsq_sparse",
 ]

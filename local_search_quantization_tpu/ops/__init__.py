@@ -4,9 +4,11 @@ from local_search_quantization_tpu.ops import (
     adc,
     costs,
     icm,
+    icm_pallas,
     kmeans,
     luts,
     norms,
+    prox,
     solver,
     subspaces,
     viterbi,
@@ -33,7 +35,7 @@ from local_search_quantization_tpu.ops.solver import (
 from local_search_quantization_tpu.ops.viterbi import viterbi_encode
 
 __all__ = [
-    "adc", "costs", "icm", "kmeans", "luts", "norms", "solver", "subspaces",
+    "adc", "costs", "icm", "icm_pallas", "kmeans", "luts", "norms", "prox", "solver", "subspaces",
     "viterbi", "linscan_pq", "linscan_opq", "linscan_lsq", "qerror",
     "reconstruct", "subspace_slices", "veccost", "ils_encode", "encode_chunked",
     "kmeans_fit", "get_unaries", "get_binaries", "get_chain_binaries",

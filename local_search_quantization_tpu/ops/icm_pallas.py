@@ -209,6 +209,11 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
             keys = pick(p, keys)
 
         # --- ICM sweeps (visit sequence is per-round, scalar-prefetched) ---
+        # NOTE: splitting rows into interleaved chains for MXU/VPU overlap
+        # is blocked by Mosaic (mixed static-sublane + dynamic-lane stores
+        # crash the compiler), and predicated static stores measured no
+        # faster than the dynamic store — the serialized
+        # matmul->argmin->store chain (~6 us/visit) is the current bound.
         def visit(t, carry2):
             j = visits_ref[r * (icmiter * m) + t]
             w = bint_ref[pl.ds(j, 1)].reshape(m * h, h)
@@ -220,10 +225,8 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
             )
             newcode = jnp.argmin(acc + cond, axis=-1)
             newoh = (newcode[:, None] == col_ids).astype(jnp.bfloat16)
-            for jj in range(m):  # predicated static writes: dynamic-lane
-                @pl.when(j == jj)  # stores cost ~3x the whole visit
-                def _():
-                    oh_ref[:, jj * h : (jj + 1) * h] = newoh
+            off = pl.multiple_of(j * h, h)
+            oh_ref[:, pl.ds(off, h)] = newoh
             return carry2
 
         jax.lax.fori_loop(0, icmiter * m, visit, 0)
@@ -291,9 +294,13 @@ def fused_ils_encode(
     bint = binaries_to_j_stacked(binaries_bf16)
     # Same data laid out for the one-shot cost matmul: column blocks by j.
     # bint_all[k*h + a, j*h + c] = binaries[k, j][a, c], diagonal blocks 0.
-    bint_all = jnp.moveaxis(
-        bint.reshape(m, m, h, h), 0, 1
-    ).reshape(m * h, m * h)
+    # bint.reshape(m,m,h,h) is indexed [j, k, a, c]; rows must group (k, a)
+    # and columns (j, c).
+    bint_all = (
+        bint.reshape(m, m, h, h)
+        .transpose(1, 2, 0, 3)
+        .reshape(m * h, m * h)
+    )
     visits = jnp.repeat(
         orders.astype(jnp.int32), icmiter, axis=0
     ).reshape(-1)  # [ilsiter * icmiter * m]; same order within a round

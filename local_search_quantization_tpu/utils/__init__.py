@@ -1,6 +1,14 @@
 """Platform layer: I/O, eval, config, synthetic data, checkpointing."""
 
-from local_search_quantization_tpu.utils import config, eval, io, synth
+from local_search_quantization_tpu.utils import (
+    checkpoint,
+    config,
+    eval,
+    io,
+    native,
+    profiling,
+    synth,
+)
 from local_search_quantization_tpu.utils.eval import eval_recall
 from local_search_quantization_tpu.utils.io import (
     bvecs_read,
@@ -12,7 +20,7 @@ from local_search_quantization_tpu.utils.io import (
 from local_search_quantization_tpu.utils.synth import random_codes, synthetic_dataset
 
 __all__ = [
-    "config", "eval", "io", "synth", "eval_recall", "fvecs_read", "ivecs_read",
-    "bvecs_read", "read_dataset", "dataset_available", "synthetic_dataset",
-    "random_codes",
+    "checkpoint", "config", "eval", "io", "native", "profiling", "synth",
+    "eval_recall", "fvecs_read", "ivecs_read", "bvecs_read", "read_dataset",
+    "dataset_available", "synthetic_dataset", "random_codes",
 ]

@@ -146,3 +146,25 @@ def test_ils_encode_matmul_mode_invariants(rng):
     newcost = np.asarray(costs.veccost(jnp.asarray(X), res.B, jnp.asarray(C)))
     assert (newcost <= cost0 + 1e-3).all()
     assert newcost.mean() < cost0.mean()
+
+
+def test_fused_ils_in_kernel_cost_matches_decomposition(rng):
+    """The in-kernel MRF cost (bf16 LUTs) must track the exact decomposition;
+    a layout bug here silently corrupts accept-if-better decisions."""
+    from local_search_quantization_tpu.ops.icm_pallas import fused_ils_encode
+
+    n, d, m, h = 32, 8, 4, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = (rng.normal(size=(m, h, d)) * 0.4).astype(np.float32)
+    B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    unaries = luts.get_unaries(jnp.asarray(X), jnp.asarray(C))
+    binaries = luts.get_binaries(jnp.asarray(C))
+    xsq = jnp.sum(jnp.asarray(X) ** 2, axis=-1)
+    orders = jnp.tile(jnp.arange(m, dtype=jnp.int32), (3, 1))
+    B, kcost = fused_ils_encode(
+        jax.random.PRNGKey(0), orders, unaries,
+        binaries.astype(jnp.bfloat16), xsq, jnp.asarray(B0),
+        ilsiter=3, icmiter=2, npert=1, interpret=True,
+    )
+    exact = np.asarray(icm.cost_from_luts(xsq, unaries, binaries, B))
+    np.testing.assert_allclose(np.asarray(kcost), exact, rtol=2e-2, atol=0.05)
