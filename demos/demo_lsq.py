@@ -100,7 +100,11 @@ def main():
 
 
 def run_pipeline_tail(args, lsq, lsq_cfg, x_base, x_query, gt):
-    m, h = args.m, args.h
+    # Shapes come from the model itself, not the CLI: with --load-model the
+    # flags may disagree with the artifact, and the artifact wins.
+    m, h = lsq.C.shape[0], lsq.C.shape[1]
+    if (m, h) != (args.m, args.h):
+        print(f"[demo] model has m={m}, h={h}; overriding CLI --m/--h")
 
     # === Encode the base set (LSQ-16) ===
     t = time.time()

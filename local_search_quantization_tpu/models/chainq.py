@@ -72,7 +72,9 @@ def train_chainq(
     if verbose:
         print(f"{-1:3d} {float(qerror(RX, B, C)):.6e}")
 
-    for it in range(config.niter + 1):
+    # Exactly config.niter update iterations (reference: chainq.jl:34-55);
+    # objs gets niter+1 entries (start-of-iteration trace + final objective).
+    for it in range(config.niter):
         obj = float(qerror(RX, B, C))
         objs.append(obj)
         if verbose:
@@ -83,5 +85,10 @@ def train_chainq(
         RX = X @ R
         C = update_codebooks_chain(RX, B, h, ridge=config.ridge)
         B = viterbi_encode(RX, C)
+
+    obj = float(qerror(RX, B, C))
+    objs.append(obj)
+    if verbose:
+        print(f"{config.niter:3d} {obj:.6e}")
 
     return ChainQModel(C, B, R, np.asarray(objs, np.float32))

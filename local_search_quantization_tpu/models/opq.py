@@ -64,29 +64,36 @@ def _opq_loop(X: Array, Xs0_C: Array, B0: Array, R0: Array, niter: int, h: int):
     m = Xs0_C.shape[0]
     d = X.shape[1]
 
-    def body(carry, _):
-        C, B, R = carry
-        RX = X @ R
-        RXs = split_subspaces(RX, m)
-        # Objective under current (R, C, B): mean ||R cb - x||^2. Since R is
-        # orthogonal this equals mean ||cb - R^T x||^2 = mean ||cb - rx||^2.
+    def recon(C, B):
         gathered = jax.vmap(lambda Ci, bi: jnp.take(Ci, bi, axis=0), in_axes=(0, 1))(
             C, B
         )  # [m, n, ds]
-        CB = merge_subspaces(gathered, d)  # [n, d] in rotated space
+        return merge_subspaces(gathered, d)  # [n, d] in rotated space
+
+    def objective(C, B, R):
+        # Objective under current (R, C, B): mean ||R cb - x||^2. Since R is
+        # orthogonal this equals mean ||cb - R^T x||^2 = mean ||cb - rx||^2.
+        return jnp.mean(jnp.sum((recon(C, B) @ R.T - X) ** 2, axis=-1))
+
+    def body(carry, _):
+        C, B, R = carry
+        CB = recon(C, B)
         obj = jnp.mean(jnp.sum((CB @ R.T - X) ** 2, axis=-1))
 
         # Procrustes rotation update: R = U V^T from svd(X^T CB).
         U, _, Vh = jnp.linalg.svd(X.T @ CB, full_matrices=False)
         R = U @ Vh
-        RX = X @ R
-        RXs = split_subspaces(RX, m)
+        RXs = split_subspaces(X @ R, m)
         # Center update from current assignments, then reassign.
         C = _update_centers_batched(RXs, B, h, C)
         B = _assign_all(RXs, C)
         return (C, B, R), obj
 
-    (C, B, R), objs = jax.lax.scan(body, (Xs0_C, B0, R0), None, length=niter + 1)
+    # Exactly niter update iterations (reference: OPQ.jl:73-97 runs niter);
+    # obj has niter+1 entries: the trace at the start of each iteration plus
+    # the final objective.
+    (C, B, R), objs = jax.lax.scan(body, (Xs0_C, B0, R0), None, length=niter)
+    objs = jnp.append(objs, objective(C, B, R))
     return C, B, R, objs
 
 

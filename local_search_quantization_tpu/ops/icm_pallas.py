@@ -251,6 +251,30 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
     out_cost_ref[:] = best_cost[:, None]
 
 
+def _pad_h(unaries: Array, binaries_bf16: Array) -> tuple[Array, Array, int]:
+    """Pad the code axis h up to a 128-lane multiple.
+
+    Mosaic's shape casts between [tile, m, h] and [tile, m*h] (used for the
+    flat one-hot state and the in-kernel cost) only lower when h is a
+    multiple of the TPU lane width; h=64 or h=200 crash the compiler
+    ("unsupported shape cast"). Padded columns get +1e30 unaries, so argmin
+    never selects them, and zero pairwise entries, so a one-hot state over
+    real codes contributes nothing through them — semantics are unchanged.
+    """
+    h = unaries.shape[-1]
+    hp = max(128, -(-h // 128) * 128)
+    if hp == h:
+        return unaries, binaries_bf16, h
+    du = hp - h
+    unaries = jnp.pad(
+        unaries, ((0, 0), (0, 0), (0, du)), constant_values=1e30
+    )
+    binaries_bf16 = jnp.pad(
+        binaries_bf16, ((0, 0), (0, 0), (0, du), (0, du))
+    )
+    return unaries, binaries_bf16, hp
+
+
 @functools.partial(
     jax.jit, static_argnames=("ilsiter", "icmiter", "npert", "tile", "interpret")
 )
@@ -281,7 +305,8 @@ def fused_ils_encode(
     decomposition with bf16 pairwise LUTs (~1e-3 relative of exact fp32).
     """
     n, m = B.shape
-    h = unaries.shape[-1]
+    h_real = unaries.shape[-1]
+    unaries, binaries_bf16, h = _pad_h(unaries, binaries_bf16)
     if tile is None:
         default = 640 if m <= 7 else 448
         tile = int(os.environ.get("LSQ_TPU_ILS_TILE", str(default)))
@@ -308,7 +333,7 @@ def fused_ils_encode(
     kkeys, kcodes = jax.random.split(key)
     pert_keys = jax.random.uniform(kkeys, (ilsiter, npad, m), jnp.float32)
     pert_codes = jax.random.randint(
-        kcodes, (ilsiter, npad, npert), 0, h, dtype=jnp.int32
+        kcodes, (ilsiter, npad, npert), 0, h_real, dtype=jnp.int32
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -386,7 +411,7 @@ def fused_icm_sweeps(
       icmiter: number of sweeps.
     """
     n, m = B.shape
-    h = unaries.shape[-1]
+    unaries, binaries_bf16, h = _pad_h(unaries, binaries_bf16)
     if tile is None:
         # Best measured config at m=7, h=256 (see benchmarks/): 768 rows with
         # the unaries block single-buffered. m=8 needs the smaller tile to

@@ -148,6 +148,33 @@ def test_ils_encode_matmul_mode_invariants(rng):
     assert newcost.mean() < cost0.mean()
 
 
+def test_kernel_mode_non_lane_aligned_h(rng):
+    """h not a multiple of the 128-lane width must work in kernel mode.
+
+    Without the pad-to-128 guard in fused_ils_encode, Mosaic rejects the
+    [tile, m, h] -> [tile, m*h] shape cast ("unsupported shape cast", found
+    live running demo_lsq --h 64 on a v5e). Interpret mode validates that
+    padded columns are never selected and costs stay exact."""
+    for h in (64, 20):
+        n, d, m = 96, 16, 4
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        C = (rng.normal(size=(m, h, d)) * 0.3).astype(np.float32)
+        B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+        cost0 = np.asarray(
+            costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C))
+        )
+        res = icm.ils_encode(
+            jax.random.PRNGKey(2), jnp.asarray(X), jnp.asarray(B0),
+            jnp.asarray(C), ilsiter=2, icmiter=2, npert=1,
+            condition_mode="kernel",
+        )
+        B = np.asarray(res.B)
+        assert B.min() >= 0 and B.max() < h  # padded codes never escape
+        newcost = np.asarray(costs.veccost(jnp.asarray(X), res.B, jnp.asarray(C)))
+        assert (newcost <= cost0 + 1e-3).all()
+        assert newcost.mean() < cost0.mean()
+
+
 def test_fused_ils_in_kernel_cost_matches_decomposition(rng):
     """The in-kernel MRF cost (bf16 LUTs) must track the exact decomposition;
     a layout bug here silently corrupts accept-if-better decisions."""

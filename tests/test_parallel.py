@@ -88,6 +88,18 @@ def test_graft_entry_single_and_multi():
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+    # Driver path: self-provisions an 8-device virtual CPU platform in a
+    # child process (the round-1 failure mode was asserting on the parent's
+    # pinned single-device backend, MULTICHIP_r01.json).
+    g.dryrun_multichip(8)
+
+
+def test_graft_entry_dryrun_inproc(monkeypatch):
+    # Harness path: with the marker set and conftest's 8-CPU platform
+    # already provisioned, the body runs in-process (no subprocess).
+    import __graft_entry__ as g
+
+    monkeypatch.setenv(g._INPROC_MARKER, "1")
     g.dryrun_multichip(8)
 
 
