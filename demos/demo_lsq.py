@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--h", type=int, default=256)
     ap.add_argument("--niter", type=int, default=10)
     ap.add_argument("--ilsiter-base", type=int, default=16)  # LSQ-16
+    ap.add_argument("--milestones", default=None,
+                    help="comma-separated ILS round milestones for the base "
+                         "encode, e.g. 16,32 — one encode run yields an "
+                         "LSQ-16 AND an LSQ-32 result (reference ilsiters "
+                         "API, encode_icm_cuda.jl:26). Overrides "
+                         "--ilsiter-base with the last milestone.")
     ap.add_argument("--knn", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None,
@@ -106,28 +112,37 @@ def run_pipeline_tail(args, lsq, lsq_cfg, x_base, x_query, gt):
     if (m, h) != (args.m, args.h):
         print(f"[demo] model has m={m}, h={h}; overriding CLI --m/--h")
 
-    # === Encode the base set (LSQ-16) ===
+    # === Encode the base set (LSQ-<milestone> for each requested round) ===
+    milestones = (
+        tuple(int(x) for x in args.milestones.split(","))
+        if args.milestones
+        else (args.ilsiter_base,)
+    )
     t = time.time()
     B0 = random_codes(args.seed, x_base.shape[0], m, h)
     enc = icm.encode_chunked(
         jax.random.PRNGKey(args.seed + 1), x_base, B0, lsq.C,
-        ilsiter=args.ilsiter_base, icmiter=lsq_cfg.icmiter,
+        ilsiter=milestones[-1], icmiter=lsq_cfg.icmiter,
         npert=lsq_cfg.npert, randord=lsq_cfg.randord,
+        milestones=milestones,
     )
     dt = time.time() - t
     print(f"Base encoding: {x_base.shape[0] / dt:.0f} vec/s  ({dt:.1f}s)")
-    base_error = float(np.mean(enc.cost))
-    print(f"Error in base is {base_error:e}")
 
-    # === Quantize database norms ===
-    bnorm_codes = np.asarray(norms.quantize_norms(enc.B, lsq.C, lsq.cbnorms))
-    db_norms = np.asarray(lsq.cbnorms)[bnorm_codes]
+    for s, rounds in enumerate(milestones):
+        B_ms = enc.milestone_B[s]
+        base_error = float(np.mean(enc.milestone_cost[s]))
+        print(f"=== LSQ-{rounds}: error in base is {base_error:e}")
 
-    # === Query + recall ===
-    t = time.time()
-    res = adc.linscan_lsq(enc.B, x_query, lsq.C, db_norms, k=args.knn)
-    print(f"Queried {x_query.shape[0]} queries in {time.time()-t:.1f}s")
-    eval_recall(gt, res.ids, args.knn)
+        # === Quantize database norms ===
+        bnorm_codes = np.asarray(norms.quantize_norms(B_ms, lsq.C, lsq.cbnorms))
+        db_norms = np.asarray(lsq.cbnorms)[bnorm_codes]
+
+        # === Query + recall ===
+        t = time.time()
+        res = adc.linscan_lsq(B_ms, x_query, lsq.C, db_norms, k=args.knn)
+        print(f"Queried {x_query.shape[0]} queries in {time.time()-t:.1f}s")
+        eval_recall(gt, res.ids, args.knn)
 
 
 if __name__ == "__main__":

@@ -72,9 +72,26 @@ def train_lsq(
     if verbose:
         print(f"{-2:3d} {float(qerror(X, B, C)):.6e}")
 
+    def encode(sub, B, C):
+        """One ILS encode; in verbose mode also print the reference's
+        per-round accept stats ("% codes equal / % better",
+        encode_icm.jl:181-184)."""
+        res = ils_encode(sub, X, B, C, **ils_kwargs, with_stats=verbose)
+        if verbose:
+            fb = np.asarray(res.frac_better) * 100
+            feq = (1.0 - np.asarray(res.frac_changed)) * 100
+            print(
+                "    ILS rounds: "
+                + " ".join(
+                    f"[{b:.2f}% better, {e:.2f}% codes equal]"
+                    for b, e in zip(fb, feq)
+                )
+            )
+        return res.B, res.cost
+
     # Initialize B.
     key, sub = jax.random.split(key)
-    B, cost = ils_encode(sub, X, B, C, **ils_kwargs)
+    B, cost = encode(sub, B, C)
     if verbose:
         print(f"{-1:3d} {float(jnp.mean(cost)):.6e}")
 
@@ -86,7 +103,7 @@ def train_lsq(
             print(f"{it:3d} {obj:.6e}")
         C = update_codebooks(X, B, h, **solve_kwargs)
         key, sub = jax.random.split(key)
-        B, cost = ils_encode(sub, X, B, C, **ils_kwargs)
+        B, cost = encode(sub, B, C)
 
     # Norm codebook for the query path (LSQ.jl:69-85).
     key, sub = jax.random.split(key)

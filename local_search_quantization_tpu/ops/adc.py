@@ -181,30 +181,55 @@ def _scan_topk(
     return KNNResult(-nd, ids)
 
 
-@partial(jax.jit, static_argnames=("k", "block", "mode", "group"))
-def _scan_topk_twopass(
+def _pick_group(n: int, k: int) -> int:
+    """Tournament group width ~= sqrt(n/k): balances the two top_k calls
+    (n/group minima vs k*group candidates). Power of two in [8, 256]."""
+    g = 8
+    while g < 256 and g * g * k < n:
+        g *= 2
+    return g
+
+
+@partial(jax.jit,
+         static_argnames=("k", "block", "mode", "group", "store_dists"))
+def _scan_topk_tournament(
     luts: Array,
     B: Array,
     extra: Array | None,
     k: int,
     block: int,
     mode: str = "matmul",
-    group: int = 128,
+    group: int | None = None,
+    store_dists: bool = True,
 ) -> KNNResult:
     """EXACT top-k via a group-minima tournament (two passes).
 
-    Pass 1 streams the distance tiles to HBM and keeps per-group (width
-    `group`) minima. The groups holding the true top-k all have a minimum
-    <= the k-th smallest value, so the k groups with smallest minima are a
-    provable superset — pass 2 re-selects exactly within those k*group
-    candidates. Replaces the per-block lax.top_k merge (which dominates the
-    streaming scan ~10:1 at k=1000) with ONE top-k over n/group minima and
-    ONE over k*group candidates.
+    Pass 1 streams distance tiles, keeping per-group (width `group`) minima
+    — no per-block lax.top_k merge (which dominated the streaming scan
+    ~10:1 at k=1000). Any group containing a true top-k element has a
+    minimum <= the k-th smallest value, so the kg=min(k, n/group) groups
+    with smallest minima are a provable superset (ties only swap
+    equal-valued candidates). Pass 2 selects exactly within the kg*group
+    candidates. group ~ sqrt(n/k) balances the two top_k calls at
+    ~2*sqrt(n*k) elements total vs n + (n/block)*k for the per-block merge.
+
+    store_dists=True stashes the [nblocks, nq, block] tiles in HBM
+    (nq*n*4 bytes; 1 GB at nq=256, n=1M) and pass 2 gathers — fastest.
+    store_dists=False recomputes candidate distances from codes via LUT
+    gathers — O(nq * k*group * m) work but O(1) extra memory, the streaming
+    choice for SIFT1B-scale bases (fixes the round-1 twopass blowup).
+    (Reference design point: partial_sort over a 1e7 buffer,
+    linscan_aqd.cpp:52-53,91.)
     """
     nq = luts.shape[0]
     n = B.shape[0]
+    m = B.shape[1]
+    h = luts.shape[2]
+    if group is None:
+        group = _pick_group(n, k)
+    group = min(group, block)
     nblocks = n // block
-    Bb = B.reshape(nblocks, block, B.shape[1])
+    Bb = B.reshape(nblocks, block, m)
     extrab = (
         extra.reshape(nblocks, block)
         if extra is not None
@@ -217,11 +242,10 @@ def _scan_topk_twopass(
             luts, Bblk, eblk if extra is not None else None, mode=mode
         )
         gmin = jnp.min(tile.reshape(nq, block // group, group), axis=-1)
-        return carry, (tile, gmin)
+        out = tile if store_dists else jnp.zeros((nq, 0), jnp.float32)
+        return carry, (out, gmin)
 
     _, (tiles, gmins) = jax.lax.scan(step, 0, (Bb, extrab))
-    # tiles: [nblocks, nq, block] -> dists [nq, n]
-    dists = jnp.moveaxis(tiles, 1, 0).reshape(nq, n)
     gmins = jnp.moveaxis(gmins, 1, 0).reshape(nq, n // group)
 
     kg = min(k, n // group)
@@ -229,8 +253,41 @@ def _scan_topk_twopass(
     cand_idx = (
         gidx[:, :, None] * group
         + jnp.arange(group, dtype=jnp.int32)[None, None, :]
-    ).reshape(nq, kg * group)
-    cand = jnp.take_along_axis(dists, cand_idx, axis=1)
+    ).reshape(nq, kg * group)  # [nq, C] global candidate positions
+
+    if store_dists:
+        # tiles layout is [nblocks, nq, block]; gather without transposing
+        # the big array (global pos p lives at flat ((p//block)*nq + q) *
+        # block + p%block). int32 flat indexing needs nq*n < 2^31 — the
+        # _run_scan driver auto-selects recompute mode beyond that.
+        b, o = cand_idx // block, cand_idx % block
+        q = jnp.arange(nq, dtype=jnp.int32)[:, None]
+        flat = (b * nq + q) * block + o
+        cand = jnp.take(tiles.reshape(-1), flat)
+    else:
+        # Keep every intermediate [nq, m, C] with the LARGE candidate axis
+        # minor: any [*, m]-minor tensor is lane-padded m -> 128 by XLA
+        # (observed 18x HBM expansion = OOM at n=1M, nq=256). Codes come
+        # from the flat [n*m] view for the same reason.
+        C_ = kg * group
+        marange = jnp.arange(m, dtype=jnp.int32)
+        flat_idx = (
+            cand_idx[:, None, :] * m + marange[None, :, None]
+        )  # [nq, m, C]
+        codes = jnp.take(B.reshape(-1), flat_idx.reshape(-1)).reshape(
+            nq, m, C_
+        )
+        lut_flat = luts.reshape(nq, m * h)
+        gidx2 = (marange[None, :, None] * h + codes).reshape(nq, m * C_)
+        cand = jnp.sum(
+            jnp.take_along_axis(lut_flat, gidx2, axis=1).reshape(nq, m, C_),
+            axis=1,
+        )
+        if extra is not None:
+            cand = cand + jnp.take(extra, cand_idx.reshape(-1)).reshape(
+                nq, C_
+            )
+
     nd, pos = jax.lax.top_k(-cand, k)
     ids = jnp.take_along_axis(cand_idx, pos, axis=1)
     return KNNResult(-nd, ids.astype(jnp.int32))
@@ -271,20 +328,34 @@ def _run_scan(
     Bj = jnp.asarray(B)
     extraj = jnp.asarray(extra_p) if extra_p is not None else None
 
-    out_d, out_i = [], []
+    # Dispatch ALL chunks asynchronously (JAX queues them back-to-back on
+    # device), then fetch — a host sync per chunk would serialize compute
+    # against the dispatch+fetch RPC latency (~35 ms on a tunneled backend).
+    results, valid = [], []
     for start in range(0, Q.shape[0], query_chunk):
         qc = Q[start : start + query_chunk]
         npad = query_chunk - qc.shape[0]
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(jnp.asarray(qc))
-        if topk_method == "twopass" and k * 128 < Bj.shape[0]:
-            res = _scan_topk_twopass(luts, Bj, extraj, k, base_block, mode=mode)
+        if topk_method in ("tournament", "twopass") and 4 * k < Bj.shape[0]:
+            # Stash-the-tiles mode only while the [nq, n] f32 buffer and its
+            # int32 flat indexing stay comfortable; stream + recompute
+            # (O(1) extra memory) beyond — SIFT1B-scale safe.
+            import os as _os
+            store = (query_chunk * Bj.shape[0] <= (1 << 28)
+                     and _os.environ.get('LSQ_TPU_TOPK_STORE', '1') == '1')
+            res = _scan_topk_tournament(
+                luts, Bj, extraj, k, base_block, mode=mode, store_dists=store
+            )
         else:
             res = _scan_topk(luts, Bj, extraj, k, base_block, mode=mode,
-                             topk_method=topk_method)
-        out_d.append(np.asarray(res.dists)[: query_chunk - npad])
-        out_i.append(np.asarray(res.ids)[: query_chunk - npad])
+                             topk_method="exact" if topk_method in (
+                                 "tournament", "twopass") else topk_method)
+        results.append(res)
+        valid.append(query_chunk - npad)
+    out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
+    out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
 
 

@@ -41,6 +41,20 @@ class ILSResult(NamedTuple):
     cost: Array  # [n] float32 per-vector squared error
 
 
+class ILSTrace(NamedTuple):
+    """ILS result plus observability extras (reference parity features:
+    the GPU encoder's `ilsiters::Vector` milestone API,
+    encode_icm_cuda.jl:26,211-222, and the CPU encoder's per-round
+    "% codes equal / % better" prints, encode_icm.jl:181-184)."""
+
+    B: Array  # [n, m] final codes
+    cost: Array  # [n] final per-vector cost
+    milestone_B: Array | None  # [n_ms, n, m] codes after milestones[i] rounds
+    milestone_cost: Array | None  # [n_ms, n]
+    frac_better: Array | None  # [ilsiter] fraction of vectors improved/round
+    frac_changed: Array | None  # [ilsiter] fraction of code entries changed
+
+
 def perturb_codes(key: Array, B: Array, npert: int, h: int) -> Array:
     """Re-randomize `npert` distinct codebook entries of each vector's code.
 
@@ -191,7 +205,10 @@ def icm_sweeps(
 
 @partial(
     jax.jit,
-    static_argnames=("ilsiter", "icmiter", "npert", "randord", "condition_mode"),
+    static_argnames=(
+        "ilsiter", "icmiter", "npert", "randord", "condition_mode",
+        "milestones", "with_stats",
+    ),
 )
 def ils_encode(
     key: Array,
@@ -204,7 +221,9 @@ def ils_encode(
     npert: int,
     randord: bool = True,
     condition_mode: str = "gather",
-) -> ILSResult:
+    milestones: tuple | None = None,
+    with_stats: bool = False,
+) -> ILSResult | ILSTrace:
     """Encode X against codebooks C with `ilsiter` rounds of perturb+ICM.
 
     Equivalent to `ilsiter` calls of the reference's `encoding_icm`
@@ -212,18 +231,52 @@ def ils_encode(
     pairwise LUTs are built once (they depend only on C), and each ILS round
     perturbs, sweeps, and keeps per-vector improvements.
 
-    Returns the new codes and their per-vector cost. The cost is guaranteed
-    elementwise <= the cost of B0.
+    Args:
+      milestones: optional strictly-increasing 1-based round indices; codes
+        and costs are snapshotted after each such round in ONE run (the
+        reference `ilsiters::Vector` API, encode_icm_cuda.jl:26,211-222) —
+        an LSQ-16 and LSQ-32 curve from a single encode.
+      with_stats: also return per-round fraction-improved and
+        fraction-of-code-entries-changed (the reference's
+        "% codes equal / % better" prints, encode_icm.jl:181-184).
+
+    Returns ILSResult(B, cost), or ILSTrace when milestones/with_stats is
+    requested. The final cost is guaranteed elementwise <= the cost of B0;
+    each milestone cost is likewise <= cost(B0), and costs are
+    non-increasing across milestones per vector.
     """
+    milestones = tuple(milestones) if milestones else ()
+    if milestones:
+        assert tuple(sorted(set(milestones))) == milestones, milestones
+        assert milestones[-1] <= ilsiter, (milestones, ilsiter)
     h = C.shape[1]
     m = C.shape[0]
     unaries = get_unaries(X, C)  # [n, m, h]
     binaries = get_binaries(C)  # [m, m, h, h]
     xsq = jnp.sum(X * X, axis=-1)
     cost0 = cost_from_luts(xsq, unaries, binaries, B0)
+
+    def finalize(B, ms_B, ms_cost_ignored, frac_better, frac_changed):
+        """Exact-fp32 boundary recheck vs B0 for the final codes and every
+        milestone (the accept contract, encode_icm.jl:177-186)."""
+        def recheck(Bc):
+            c = cost_from_luts(xsq, unaries, binaries, Bc)
+            ok = c < cost0
+            return jnp.where(ok[:, None], Bc, B0), jnp.where(ok, c, cost0)
+
+        B, cost = recheck(B)
+        if not milestones and not with_stats:
+            return ILSResult(B, cost)
+        msB = msC = None
+        if milestones:
+            pairs = [recheck(ms_B[s]) for s in range(len(milestones))]
+            msB = jnp.stack([p[0] for p in pairs])
+            msC = jnp.stack([p[1] for p in pairs])
+        return ILSTrace(B, cost, msB, msC, frac_better, frac_changed)
+
     if condition_mode == "kernel":
         # Whole-ILS single-launch kernel: rounds, perturbation, cost and
-        # accept all stay in VMEM (TPU only; no interpret path).
+        # accept all stay in VMEM (interpreted off-TPU).
         from local_search_quantization_tpu.ops.icm_pallas import fused_ils_encode
 
         kperm, kseed = jax.random.split(key)
@@ -233,17 +286,18 @@ def ils_encode(
             )(jax.random.split(kperm, ilsiter))
         else:
             orders = jnp.tile(jnp.arange(m, dtype=jnp.int32), (ilsiter, 1))
-        B, _ = fused_ils_encode(
-            kseed, orders, unaries, binaries.astype(jnp.bfloat16), xsq, B0,
+        B, _, ms_B, _, stats = fused_ils_encode(
+            kseed, orders, unaries, binaries, xsq, B0,
             ilsiter=ilsiter, icmiter=icmiter, npert=npert,
             interpret=jax.default_backend() != "tpu",
+            milestones=milestones, with_stats=with_stats,
         )
-        # Exact fp32 cost of the returned codes; accept decisions in-kernel
-        # compare bf16-LUT costs, so enforce the contract vs B0 here.
-        newcost = cost_from_luts(xsq, unaries, binaries, B)
-        better = newcost < cost0
-        B = jnp.where(better[:, None], B, B0)
-        return ILSResult(B, jnp.where(better, newcost, cost0))
+        n = X.shape[0]
+        fb = fc = None
+        if with_stats:
+            fb = stats[:, 0] / n
+            fc = stats[:, 1] / (n * m)
+        return finalize(B, ms_B, None, fb, fc)
 
     if condition_mode == "fused":
         from local_search_quantization_tpu.ops.icm_pallas import fused_icm_sweeps
@@ -251,8 +305,12 @@ def ils_encode(
         binaries_bf16 = binaries.astype(jnp.bfloat16)
         interpret = jax.default_backend() != "tpu"
 
-    def ils_round(carry, key_i):
-        B, cost = carry
+    n_ms = len(milestones)
+    ms_rounds = jnp.asarray([r - 1 for r in milestones], jnp.int32)
+
+    def ils_round(carry, inp):
+        B, cost, ms_B, ms_cost = carry
+        r, key_i = inp
         kperm, kpert = jax.random.split(key_i)
         order = (
             jax.random.permutation(kperm, m)
@@ -271,13 +329,34 @@ def ils_encode(
             )
         newcost = cost_from_luts(xsq, unaries, binaries, Bp)
         better = newcost < cost
-        B = jnp.where(better[:, None], Bp, B)
-        cost = jnp.where(better, newcost, cost)
-        return (B, cost), None
+        B_new = jnp.where(better[:, None], Bp, B)
+        cost_new = jnp.where(better, newcost, cost)
+        stats = (
+            jnp.mean(better.astype(jnp.float32)),
+            jnp.mean((B_new != B).astype(jnp.float32)),
+        )
+        if n_ms:
+            hit = r == ms_rounds  # [n_ms]
+            ms_B = jnp.where(hit[:, None, None], B_new[None], ms_B)
+            ms_cost = jnp.where(hit[:, None], cost_new[None], ms_cost)
+        return (B_new, cost_new, ms_B, ms_cost), stats
 
     keys = jax.random.split(key, ilsiter)
-    (B, cost), _ = jax.lax.scan(ils_round, (B0, cost0), keys)
-    return ILSResult(B, cost)
+    ms_B0 = jnp.broadcast_to(B0[None], (max(n_ms, 1),) + B0.shape)
+    ms_c0 = jnp.broadcast_to(cost0[None], (max(n_ms, 1),) + cost0.shape)
+    rounds = jnp.arange(ilsiter, dtype=jnp.int32)
+    (B, cost, ms_B, ms_cost), (fb, fc) = jax.lax.scan(
+        ils_round, (B0, cost0, ms_B0, ms_c0), (rounds, keys)
+    )
+    if not milestones and not with_stats:
+        return ILSResult(B, cost)
+    return ILSTrace(
+        B, cost,
+        ms_B if milestones else None,
+        ms_cost if milestones else None,
+        fb if with_stats else None,
+        fc if with_stats else None,
+    )
 
 
 def encode_chunked(
@@ -293,7 +372,9 @@ def encode_chunked(
     condition_mode: str = "auto",
     chunk: int = 1 << 17,
     encode_fn=None,
-) -> ILSResult:
+    milestones: tuple | None = None,
+    with_stats: bool = False,
+) -> ILSResult | ILSTrace:
     """ILS-encode a large base set in fixed-size chunks.
 
     The [n, m, h] unary table dominates memory (n=1M, m=8, h=256 -> 8 GB
@@ -302,19 +383,28 @@ def encode_chunked(
     (encode_icm_cuda.jl:261-288) but with a single compiled program reused for
     every chunk (the tail chunk is padded to keep shapes static).
 
-    Accepts numpy or JAX arrays; returns host-side ILSResult.
+    milestones / with_stats behave as in ils_encode (milestone codes are
+    stitched across chunks; per-round stats are weighted by chunk size).
+
+    Accepts numpy or JAX arrays; returns host-side ILSResult (or ILSTrace).
     """
     import numpy as np
 
+    milestones = tuple(milestones) if milestones else ()
     n = X.shape[0]
     mode = resolve_condition_mode(condition_mode)
     fn = encode_fn or (
         lambda k, x, b: ils_encode(
             k, x, b, C, ilsiter=ilsiter, icmiter=icmiter, npert=npert,
             randord=randord, condition_mode=mode,
+            milestones=milestones, with_stats=with_stats,
         )
     )
     outB, outcost = [], []
+    out_msB = [[] for _ in milestones]
+    out_msc = [[] for _ in milestones]
+    fb_acc = fc_acc = None
+    total = 0
     for start in range(0, n, chunk):
         stop = min(start + chunk, n)
         xs, bs = np.asarray(X[start:stop]), np.asarray(B0[start:stop])
@@ -324,6 +414,31 @@ def encode_chunked(
             bs = np.concatenate([bs, np.broadcast_to(bs[-1:], (pad,) + bs.shape[1:])])
         key, sub = jax.random.split(key)
         res = fn(sub, jnp.asarray(xs), jnp.asarray(bs))
-        outB.append(np.asarray(res.B)[: stop - start])
-        outcost.append(np.asarray(res.cost)[: stop - start])
-    return ILSResult(np.concatenate(outB), np.concatenate(outcost))
+        valid = stop - start
+        outB.append(np.asarray(res.B)[:valid])
+        outcost.append(np.asarray(res.cost)[:valid])
+        if milestones:
+            for s in range(len(milestones)):
+                out_msB[s].append(np.asarray(res.milestone_B[s])[:valid])
+                out_msc[s].append(np.asarray(res.milestone_cost[s])[:valid])
+        if with_stats and res.frac_better is not None:
+            # Chunk fractions are over the chunk's (possibly pad-duplicated)
+            # rows in both modes; weighting by the padded size keeps the
+            # weighted mean exact over what was actually measured.
+            w = valid + pad
+            fb = np.asarray(res.frac_better) * w
+            fc = np.asarray(res.frac_changed) * w
+            fb_acc = fb if fb_acc is None else fb_acc + fb
+            fc_acc = fc if fc_acc is None else fc_acc + fc
+            total += w
+    B = np.concatenate(outB)
+    cost = np.concatenate(outcost)
+    if not milestones and not with_stats:
+        return ILSResult(B, cost)
+    msB = np.stack([np.concatenate(x) for x in out_msB]) if milestones else None
+    msc = np.stack([np.concatenate(x) for x in out_msc]) if milestones else None
+    return ILSTrace(
+        B, cost, msB, msc,
+        fb_acc / total if fb_acc is not None else None,
+        fc_acc / total if fc_acc is not None else None,
+    )

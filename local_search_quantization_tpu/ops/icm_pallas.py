@@ -130,9 +130,8 @@ def _icm_kernel_v2(order_ref, u_ref, bint_ref, b_ref, out_ref, oh_ref, *,
     )
 
 
-def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
-                pkeys_ref, pcodes_ref, out_b_ref, out_cost_ref, oh_ref, *,
-                m: int, h: int, icmiter: int, rounds: int, npert: int):
+def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
+                milestones: tuple = (), with_stats: bool = False):
     """Whole-ILS kernel: rounds x (perturb -> ICM sweeps -> cost ->
     accept-if-better) with codes resident in VMEM for the entire encode.
 
@@ -140,11 +139,34 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
     (curand perturbation, per-visit LUT uploads, cost + accept on host;
     encode_icm_cuda.jl:124-223) happens in-kernel: perturbation randomness is
     precomputed with jax.random and streamed in (tiny blocks), conditioning
-    is one-hot x LUT matmuls, cost is the MRF decomposition (bf16 LUTs;
-    accept decisions compare costs computed identically, so the per-vector
-    non-increase holds in the bf16-LUT metric and to ~1e-3 relative in exact
-    fp32).
+    is one-hot x LUT matmuls. The round cost used for accept decisions is
+    computed from a hi/lo split-bf16 copy of the pairwise LUT (two matmuls:
+    bf16(v) + bf16(v - f32(bf16(v))) recovers ~16 mantissa bits), so
+    per-round accept-if-better operates at fp32-grade precision (~1e-5
+    relative), not raw-bf16 (~4e-3) — see CLAUDE.md's accept invariant.
+
+    Optional outputs (static config):
+    - milestones: round indices (1-based) at which to snapshot best codes +
+      cost, the reference GPU encoder's `ilsiters::Vector` API
+      (encode_icm_cuda.jl:26,211-222) done in ONE launch;
+    - with_stats: per-round [count(improved), count(changed code entries)],
+      the reference's "% codes equal / % better" prints
+      (encode_icm.jl:181-184).
     """
+    (visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
+     pkeys_ref, pcodes_ref) = refs[:8]
+    idx = 8
+    out_b_ref, out_cost_ref = refs[idx], refs[idx + 1]
+    idx += 2
+    out_ms_b_ref = out_ms_cost_ref = stats_ref = None
+    if milestones:
+        out_ms_b_ref, out_ms_cost_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    if with_stats:
+        stats_ref = refs[idx]
+        idx += 1
+    oh_ref = refs[idx]
+
     tile = b_ref.shape[0]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, h), dimension=1)
     lane_m = jax.lax.broadcasted_iota(jnp.int32, (tile, m), dimension=1)
@@ -168,21 +190,29 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
         )
 
     def state_cost():
-        # cost = ||x||^2 + <OH, U_flat> + 0.5 * <OH, OH @ BINT_ALL> —
-        # one [tile, mh] x [mh, mh] matmul + two fused multiply-reduces
-        # (replaces m separate matmuls; fewer live temporaries in VMEM).
+        # cost = ||x||^2 + <OH, U_flat> + 0.5 * <OH, OH @ BINT_ALL> — the
+        # pairwise term uses the hi/lo split-bf16 LUT pair (two [tile, mh] x
+        # [mh, mh] matmuls with f32 accumulation): one-hot operands are
+        # exact in bf16 and hi+lo carries ~16 LUT mantissa bits, so the
+        # result tracks an exact-fp32 evaluation to ~1e-5 relative.
         ohf = oh_ref[:, :].astype(jnp.float32)  # [tile, m*h]
         u_flat = u_ref[:, :, :].reshape(tile, m * h)
-        cond_all = jax.lax.dot_general(
+        cond_hi = jax.lax.dot_general(
             oh_ref[:, :],
-            bint_all_ref[:, :],
+            bint_all_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [tile, m*h]
+        cond_lo = jax.lax.dot_general(
+            oh_ref[:, :],
+            bint_all_ref[1],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         return (
             xsq_ref[:, 0]
             + jnp.sum(ohf * u_flat, axis=-1)
-            + 0.5 * jnp.sum(ohf * cond_all, axis=-1)
+            + 0.5 * jnp.sum(ohf * (cond_hi + cond_lo), axis=-1)
         )
 
     set_oh_from_codes(b_ref[:])
@@ -190,7 +220,7 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
     best_cost = state_cost()
 
     def one_round(r, carry):
-        best_codes, best_cost = carry
+        best_codes, best_cost, stats_acc = carry
 
         # --- Perturb npert distinct codebooks per row with random codes ---
         keys = pkeys_ref[r]  # [tile, m] f32 iid uniforms
@@ -235,6 +265,7 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
         newcost = state_cost()
         better = newcost < best_cost
         cand = extract_codes()
+        prev_codes = best_codes
         best_codes = jnp.where(better[:, None], cand, best_codes)
         best_cost = jnp.where(better, newcost, best_cost)
         bet = better[:, None]
@@ -242,13 +273,46 @@ def _ils_kernel(visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
             keep = oh_ref[:, k * h : (k + 1) * h]
             restored = (best_codes[:, k : k + 1] == col_ids).astype(jnp.bfloat16)
             oh_ref[:, k * h : (k + 1) * h] = jnp.where(bet, keep, restored)
-        return best_codes, best_cost
 
-    best_codes, best_cost = jax.lax.fori_loop(
-        0, rounds, one_round, (best_codes, best_cost)
+        if with_stats:
+            # Scalar reductions ([1, tile] -> [1]) don't lower in Mosaic;
+            # reduce along sublanes into full [128] lane vectors instead and
+            # select the round's row of the carried accumulator (pure
+            # vector ops, no dynamic stores).
+            cb = jnp.sum(
+                jnp.broadcast_to(
+                    better.astype(jnp.float32)[:, None], (tile, 128)
+                ),
+                axis=0,
+            )  # [128], every lane = count(better)
+            changed_rows = jnp.sum(
+                (best_codes != prev_codes).astype(jnp.float32), axis=1
+            )  # [tile]
+            cc = jnp.sum(
+                jnp.broadcast_to(changed_rows[:, None], (tile, 128)), axis=0
+            )
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rounds, 128), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (rounds, 128), 0)
+            vec = jnp.where(lane == 0, cb[None, :], jnp.where(
+                lane == 1, cc[None, :], 0.0))
+            stats_acc = jnp.where(row == r, vec, stats_acc)
+
+        for s, ms in enumerate(milestones):
+            @pl.when(r == ms - 1)
+            def _write_ms(s=s, codes=best_codes, cost=best_cost):
+                out_ms_b_ref[s] = codes
+                out_ms_cost_ref[s] = cost[:, None]
+
+        return best_codes, best_cost, stats_acc
+
+    stats0 = jnp.zeros((rounds, 128), jnp.float32)
+    best_codes, best_cost, stats_acc = jax.lax.fori_loop(
+        0, rounds, one_round, (best_codes, best_cost, stats0)
     )
     out_b_ref[:] = best_codes
     out_cost_ref[:] = best_cost[:, None]
+    if with_stats:
+        stats_ref[0] = stats_acc
 
 
 def _pad_h(unaries: Array, binaries_bf16: Array) -> tuple[Array, Array, int]:
@@ -276,13 +340,17 @@ def _pad_h(unaries: Array, binaries_bf16: Array) -> tuple[Array, Array, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ilsiter", "icmiter", "npert", "tile", "interpret")
+    jax.jit,
+    static_argnames=(
+        "ilsiter", "icmiter", "npert", "tile", "interpret", "milestones",
+        "with_stats",
+    ),
 )
 def fused_ils_encode(
     key: Array,
     orders: Array,
     unaries: Array,
-    binaries_bf16: Array,
+    binaries: Array,
     xsq: Array,
     B: Array,
     *,
@@ -291,22 +359,36 @@ def fused_ils_encode(
     npert: int,
     tile: int | None = None,
     interpret: bool = False,
-) -> tuple[Array, Array]:
+    milestones: tuple = (),
+    with_stats: bool = False,
+) -> tuple:
     """Run the ENTIRE ILS encode (ilsiter rounds) in one kernel launch.
 
     Args:
       key: jax PRNG key for the perturbation randomness (precomputed on host
         side of the kernel and streamed in as tiny per-tile blocks).
       orders: [ilsiter, m] int32 per-round ICM visit permutations.
-      unaries/binaries_bf16/B: as in fused_icm_sweeps; xsq: per-vector
-        ||x||^2 for the in-kernel cost.
+      unaries/B: as in fused_icm_sweeps; binaries: [m, m, h, h] float32
+        (cast to bf16 in here for the visit path; split hi/lo for the
+        fp32-grade cost path); xsq: per-vector ||x||^2.
+      milestones: strictly-increasing 1-based round indices to snapshot
+        (reference `ilsiters` API, encode_icm_cuda.jl:26).
+      with_stats: also return per-round [n_improved, n_changed_entries]
+        counts (includes the <tile padded rows only as never-better,
+        never-changed — their xsq is pinned to -1e30 so accept is never
+        taken).
 
-    Returns (codes [n, m] int32, cost [n] float32). The cost is the MRF
-    decomposition with bf16 pairwise LUTs (~1e-3 relative of exact fp32).
+    Returns (codes [n, m] int32, cost [n] float32, ms_b [n_ms, n, m] | None,
+    ms_cost [n_ms, n] | None, stats [ilsiter, 2] | None). Costs come from
+    the hi/lo split-bf16 MRF decomposition (~1e-5 relative of exact fp32).
     """
+    if milestones:
+        assert tuple(sorted(set(milestones))) == tuple(milestones), milestones
+        assert milestones[-1] <= ilsiter, (milestones, ilsiter)
     n, m = B.shape
     h_real = unaries.shape[-1]
-    unaries, binaries_bf16, h = _pad_h(unaries, binaries_bf16)
+    binaries = binaries.astype(jnp.float32)
+    unaries, binaries, h = _pad_h(unaries, binaries)
     if tile is None:
         default = 640 if m <= 7 else 448
         tile = int(os.environ.get("LSQ_TPU_ILS_TILE", str(default)))
@@ -314,18 +396,26 @@ def fused_ils_encode(
     if pad:
         B = jnp.concatenate([B, jnp.zeros((pad, m), B.dtype)])
         unaries = jnp.concatenate([unaries, jnp.zeros((pad, m, h))])
-        xsq = jnp.concatenate([xsq, jnp.zeros((pad,), xsq.dtype)])
+        # Padded rows get -1e30 "cost floor": adding real-scale terms cannot
+        # change the float, so newcost == best_cost and they never accept or
+        # count as changed in the stats.
+        xsq = jnp.concatenate(
+            [xsq, jnp.full((pad,), -1e30, xsq.dtype)]
+        )
     npad = n + pad
-    bint = binaries_to_j_stacked(binaries_bf16)
+    bint = binaries_to_j_stacked(binaries.astype(jnp.bfloat16))
     # Same data laid out for the one-shot cost matmul: column blocks by j.
     # bint_all[k*h + a, j*h + c] = binaries[k, j][a, c], diagonal blocks 0.
-    # bint.reshape(m,m,h,h) is indexed [j, k, a, c]; rows must group (k, a)
-    # and columns (j, c).
-    bint_all = (
-        bint.reshape(m, m, h, h)
-        .transpose(1, 2, 0, 3)
-        .reshape(m * h, m * h)
+    # binaries is indexed [k, j, a, c]; rows must group (k, a), columns
+    # (j, c). Split into bf16 hi + bf16 lo so the cost matmuls recover ~16
+    # mantissa bits (one-hot left operands are exact in bf16).
+    mask = (1.0 - jnp.eye(m, dtype=jnp.float32))[:, :, None, None]
+    bint_all_f32 = (
+        (binaries * mask).transpose(0, 2, 1, 3).reshape(m * h, m * h)
     )
+    hi = bint_all_f32.astype(jnp.bfloat16)
+    lo = (bint_all_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bint_all = jnp.stack([hi, lo])  # [2, m*h, m*h] bf16
     visits = jnp.repeat(
         orders.astype(jnp.int32), icmiter, axis=0
     ).reshape(-1)  # [ilsiter * icmiter * m]; same order within a round
@@ -336,35 +426,55 @@ def fused_ils_encode(
         kcodes, (ilsiter, npad, npert), 0, h_real, dtype=jnp.int32
     )
 
+    n_ms = len(milestones)
+    ngrid = npad // tile
+    out_specs = [
+        pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
+        pl.BlockSpec((tile, 1), lambda i, *_: (i, 0)),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((npad, m), jnp.int32),
+        jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+    ]
+    if milestones:
+        out_specs += [
+            pl.BlockSpec((n_ms, tile, m), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((n_ms, tile, 1), lambda i, *_: (0, i, 0)),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((n_ms, npad, m), jnp.int32),
+            jax.ShapeDtypeStruct((n_ms, npad, 1), jnp.float32),
+        ]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, ilsiter, 128), lambda i, *_: (i, 0, 0)))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((ngrid, ilsiter, 128), jnp.float32)
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # visits
-        grid=(npad // tile,),
+        grid=(ngrid,),
         in_specs=[
             pl.BlockSpec((tile, m, h), lambda i, *_: (i, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1)),
             pl.BlockSpec((m, m * h, h), lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec((m * h, m * h), lambda i, *_: (0, 0)),
+            pl.BlockSpec((2, m * h, m * h), lambda i, *_: (0, 0, 0)),
             pl.BlockSpec((tile, 1), lambda i, *_: (i, 0)),
             pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
             pl.BlockSpec((ilsiter, tile, m), lambda i, *_: (0, i, 0)),
             pl.BlockSpec((ilsiter, tile, npert), lambda i, *_: (0, i, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
-            pl.BlockSpec((tile, 1), lambda i, *_: (i, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((tile, m * h), jnp.bfloat16)],
     )
     kernel = functools.partial(
-        _ils_kernel, m=m, h=h, icmiter=icmiter, rounds=ilsiter, npert=npert
+        _ils_kernel, m=m, h=h, icmiter=icmiter, rounds=ilsiter, npert=npert,
+        milestones=milestones, with_stats=with_stats,
     )
-    out_b, out_cost = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((npad, m), jnp.int32),
-            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
-        ],
+        out_shape=out_shapes,
         # The default 16 MB scoped-vmem cap is conservative; v5e cores have
         # far more VMEM and this kernel's working set + compiler temporaries
         # need headroom.
@@ -373,7 +483,15 @@ def fused_ils_encode(
         ),
         interpret=interpret,
     )(visits, unaries, bint, bint_all, xsq[:, None], B, pert_keys, pert_codes)
-    return out_b[:n], out_cost[:n, 0]
+    out_b, out_cost = outs[0][:n], outs[1][:n, 0]
+    oi = 2
+    ms_b = ms_cost = stats = None
+    if milestones:
+        ms_b, ms_cost = outs[oi][:, :n], outs[oi + 1][:, :n, 0]
+        oi += 2
+    if with_stats:
+        stats = jnp.sum(outs[oi][:, :, :2], axis=0)  # [ilsiter, 2] counts
+    return out_b, out_cost, ms_b, ms_cost, stats
 
 
 def binaries_to_j_stacked(binaries_bf16):

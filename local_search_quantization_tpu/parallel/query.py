@@ -49,7 +49,11 @@ def sharded_scan_topk(
         idx = jax.lax.axis_index(axis)
         res = _scan_topk(luts, B, extra, k, min(block, B.shape[0]),
                          pvary_axis=axis)
-        gids = res.ids + idx * shard_n
+        # Unfilled slots (k > valid rows in this shard) carry the -1 id
+        # sentinel; offsetting it would forge a plausible id on another
+        # shard. Keep the sentinel — its +inf distance loses the merge to
+        # any real candidate, and surfaces honestly if none exists.
+        gids = jnp.where(res.ids >= 0, res.ids + idx * shard_n, -1)
         # New leading axis of size 1 per shard; shard_map stacks to [S, nq, k].
         return KNNResult(res.dists[None], gids[None])
 
@@ -94,6 +98,7 @@ def sharded_linscan_pq(
     if R is not None:
         Q = Q @ np.asarray(R)
     n = B.shape[0]
+    k = min(k, n)  # padded rows must never be reported as neighbors
     nshards = int(np.prod(list(mesh.shape.values())))
     pad = (-n) % (nshards * block)
     extra = np.zeros(n, np.float32)
@@ -133,6 +138,7 @@ def sharded_linscan_lsq(
 
     B = np.asarray(B)
     n = B.shape[0]
+    k = min(k, n)  # padded rows must never be reported as neighbors
     nshards = int(np.prod(list(mesh.shape.values())))
     pad = (-n) % (nshards * block)
     extra = np.asarray(db_norms, np.float32)

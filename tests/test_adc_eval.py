@@ -119,9 +119,10 @@ def test_linscan_approx_topk_mode(rng):
     assert overlap > 0.8
 
 
-def test_linscan_twopass_exactly_matches_streaming(rng):
+def test_linscan_tournament_exactly_matches_streaming(rng):
     """The group-minima tournament is EXACT: identical distances to the
-    streaming lax.top_k path."""
+    streaming lax.top_k path, in both stash-the-tiles and O(1)-memory
+    recompute modes."""
     n, nq, d, m, h = 4096, 6, 8, 3, 8
     C = (rng.normal(size=(m, h, d))).astype(np.float32)
     B = rng.integers(0, h, size=(n, m), dtype=np.int32)
@@ -132,6 +133,24 @@ def test_linscan_twopass_exactly_matches_streaming(rng):
     exact = adc.linscan_lsq(B, Q, jnp.asarray(C), dbnorms, k=k, query_chunk=8,
                             base_block=1024)
     two = adc.linscan_lsq(B, Q, jnp.asarray(C), dbnorms, k=k, query_chunk=8,
-                          base_block=1024, topk_method="twopass")
+                          base_block=1024, topk_method="tournament")
     np.testing.assert_allclose(np.asarray(two.dists), np.asarray(exact.dists),
                                rtol=1e-5, atol=1e-5)
+
+    # Recompute mode (no [nq, n] stash): same result, including the norms
+    # `extra` term re-added during candidate recomputation.
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+    rec = adc._scan_topk_tournament(
+        luts, jnp.asarray(B), jnp.asarray(dbnorms), k, 1024,
+        store_dists=False,
+    )
+    np.testing.assert_allclose(np.asarray(rec.dists),
+                               np.asarray(exact.dists)[:nq],
+                               rtol=1e-5, atol=1e-5)
+
+    # Brute-force distance oracle (ids may swap on fp near-ties at the k-th
+    # boundary; the value multiset is the exactness contract).
+    full = -2.0 * Q @ recon.T + dbnorms[None, :]
+    oracle_d = np.sort(full, axis=1)[:, :k]
+    np.testing.assert_allclose(np.asarray(two.dists), oracle_d,
+                               rtol=1e-4, atol=1e-4)

@@ -82,6 +82,31 @@ def test_sharded_query_matches_single_chip(rng, mesh):
     # ids may differ on exact ties; distances must agree.
 
 
+def test_sharded_query_tiny_shards_k_exceeds_shard(rng, mesh):
+    """k larger than each shard's valid rows: per-shard results carry -1
+    sentinel slots whose ids must NOT be offset into plausible global ids
+    (round-1 finding: -1 + idx*shard_n forged non-negative ids)."""
+    n, nq, d, m, h = 128, 8, 8, 3, 8
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    k = 50  # > 128/8 = 16 valid rows per shard
+    multi = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k,
+                                query_chunk=8, block=64)
+    single = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=8,
+                             base_block=64)
+    ids = np.asarray(multi.ids)
+    assert ids.min() >= 0 and ids.max() < n
+    np.testing.assert_allclose(multi.dists, single.dists, rtol=1e-4, atol=1e-4)
+    # k > n: the surplus slots must be honest sentinels, not forged ids.
+    multi2 = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k=200,
+                                 query_chunk=8, block=64)
+    assert multi2.ids.shape == (nq, n)  # clamped to the true database size
+    assert np.asarray(multi2.ids).min() >= 0
+
+
 def test_graft_entry_single_and_multi():
     import __graft_entry__ as g
 
