@@ -119,6 +119,32 @@ def test_linscan_approx_topk_mode(rng):
     assert overlap > 0.8
 
 
+def test_linscan_select_kernel_exact(rng):
+    """The fused Pallas scan+select kernel returns the exact sorted top-k
+    (interpret mode off-TPU): distance parity with the streaming path and a
+    brute-force oracle, valid ids, odd query counts padded correctly."""
+    n, nq, d, m, h, k = 4096, 9, 8, 3, 8, 17
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    exact = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=16,
+                            base_block=1024)
+    kern = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=16,
+                           base_block=1024, topk_method="kernel")
+    np.testing.assert_allclose(np.asarray(kern.dists), np.asarray(exact.dists),
+                               rtol=1e-4, atol=1e-4)
+    ids = np.asarray(kern.ids)
+    assert ids.min() >= 0 and ids.max() < n
+    # Sorted ascending, and ids consistent with the reported distances.
+    d_ = np.asarray(kern.dists)
+    assert (np.diff(d_, axis=1) >= -1e-6).all()
+    full = -2.0 * Q @ recon.T + dbn[None, :]
+    np.testing.assert_allclose(np.take_along_axis(full, ids, axis=1), d_,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_linscan_tournament_exactly_matches_streaming(rng):
     """The group-minima tournament is EXACT: identical distances to the
     streaming lax.top_k path, in both stash-the-tiles and O(1)-memory
