@@ -315,6 +315,196 @@ def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
         stats_ref[0] = stats_acc
 
 
+def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
+                   npert: int, milestones: tuple = (),
+                   with_stats: bool = False):
+    """Software-pipelined whole-ILS kernel: the tile is split into two
+    independent row halves with SEPARATE one-hot state buffers, and their
+    visits are interleaved so half B's conditioning matmul (MXU) can
+    overlap half A's argmin + one-hot store (VPU). The plain kernel's
+    matmul->argmin->store chain is fully serialized by the RAW dependency
+    through the single one-hot buffer (~6-7 us/visit vs ~2-3 us of matmul);
+    separate buffers break it. Separate scratch refs also avoid the Mosaic
+    crash on mixed static-sublane + dynamic-lane stores that blocked the
+    round-1 interleaving attempt (see the NOTE in _ils_kernel).
+
+    Semantics identical to _ils_kernel (same visits, same accept rule; row
+    halves never interact — ILS is row-independent).
+    """
+    (visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
+     pkeys_ref, pcodes_ref) = refs[:8]
+    idx = 8
+    out_b_ref, out_cost_ref = refs[idx], refs[idx + 1]
+    idx += 2
+    out_ms_b_ref = out_ms_cost_ref = stats_ref = None
+    if milestones:
+        out_ms_b_ref, out_ms_cost_ref = refs[idx], refs[idx + 1]
+        idx += 2
+    if with_stats:
+        stats_ref = refs[idx]
+        idx += 1
+    oh_a, oh_b = refs[idx], refs[idx + 1]
+
+    tile = b_ref.shape[0]
+    half = tile // 2
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (half, h), dimension=1)
+    lane_m = jax.lax.broadcasted_iota(jnp.int32, (half, m), dimension=1)
+    halves = ((oh_a, 0), (oh_b, half))
+
+    def set_oh(oh_ref, codes):
+        for k in range(m):
+            oh_ref[:, k * h : (k + 1) * h] = (
+                codes[:, k : k + 1] == col_ids
+            ).astype(jnp.bfloat16)
+
+    def extract_codes(oh_ref):
+        return jnp.stack(
+            [
+                jnp.argmax(
+                    oh_ref[:, k * h : (k + 1) * h].astype(jnp.float32), axis=-1
+                ).astype(jnp.int32)
+                for k in range(m)
+            ],
+            axis=1,
+        )
+
+    def state_cost(oh_ref, r0):
+        ohf = oh_ref[:, :].astype(jnp.float32)
+        u_flat = u_ref[r0 : r0 + half].reshape(half, m * h)
+        cond_hi = jax.lax.dot_general(
+            oh_ref[:, :], bint_all_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        cond_lo = jax.lax.dot_general(
+            oh_ref[:, :], bint_all_ref[1],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            xsq_ref[r0 : r0 + half, 0]
+            + jnp.sum(ohf * u_flat, axis=-1)
+            + 0.5 * jnp.sum(ohf * (cond_hi + cond_lo), axis=-1)
+        )
+
+    for oh_ref, r0 in halves:
+        set_oh(oh_ref, b_ref[r0 : r0 + half])
+    best0 = (b_ref[0:half], state_cost(oh_a, 0))
+    best1 = (b_ref[half:tile], state_cost(oh_b, half))
+
+    def perturb(oh_ref, r0, r):
+        keys = pkeys_ref[r, r0 : r0 + half]
+        rnd_codes = pcodes_ref[r, r0 : r0 + half]
+        def pick(p, keys):
+            pos = jnp.argmin(keys, axis=-1).astype(jnp.int32)
+            keys = jnp.where(lane_m == pos[:, None], jnp.float32(1e30), keys)
+            newoh = (rnd_codes[:, p : p + 1] == col_ids).astype(jnp.bfloat16)
+            for k in range(m):
+                sel = (pos == k)[:, None]
+                oh_ref[:, k * h : (k + 1) * h] = jnp.where(
+                    sel, newoh, oh_ref[:, k * h : (k + 1) * h]
+                )
+            return keys
+        for p in range(npert):
+            keys = pick(p, keys)
+
+    def one_round(r, carry):
+        codes0, cost0, codes1, cost1, stats_acc = carry
+        perturb(oh_a, 0, r)
+        perturb(oh_b, half, r)
+
+        def visit(t, carry2):
+            j = visits_ref[r * (icmiter * m) + t]
+            w = bint_ref[pl.ds(j, 1)].reshape(m * h, h)
+            off = pl.multiple_of(j * h, h)
+            # Order MM_A, VPU_A, MM_B, VPU_B: half B's matmul has no
+            # dependency on half A's argmin/store, so the MXU can run B
+            # while the VPU finishes A; next iteration's MM_A likewise
+            # overlaps VPU_B.
+            cond_a = jax.lax.dot_general(
+                oh_a[:, :], w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_a = u_ref[0:half, pl.ds(j, 1), :].reshape(half, h) + cond_a
+            new_a = jnp.argmin(acc_a, axis=-1)
+            oh_a[:, pl.ds(off, h)] = (new_a[:, None] == col_ids).astype(
+                jnp.bfloat16
+            )
+            cond_b = jax.lax.dot_general(
+                oh_b[:, :], w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_b = u_ref[half:tile, pl.ds(j, 1), :].reshape(half, h) + cond_b
+            new_b = jnp.argmin(acc_b, axis=-1)
+            oh_b[:, pl.ds(off, h)] = (new_b[:, None] == col_ids).astype(
+                jnp.bfloat16
+            )
+            return carry2
+
+        jax.lax.fori_loop(0, icmiter * m, visit, 0)
+
+        def accept(oh_ref, r0, best_codes, best_cost):
+            newcost = state_cost(oh_ref, r0)
+            better = newcost < best_cost
+            cand = extract_codes(oh_ref)
+            prev = best_codes
+            best_codes = jnp.where(better[:, None], cand, best_codes)
+            best_cost = jnp.where(better, newcost, best_cost)
+            bet = better[:, None]
+            for k in range(m):
+                keep = oh_ref[:, k * h : (k + 1) * h]
+                restored = (best_codes[:, k : k + 1] == col_ids).astype(
+                    jnp.bfloat16
+                )
+                oh_ref[:, k * h : (k + 1) * h] = jnp.where(bet, keep, restored)
+            return best_codes, best_cost, better, prev
+
+        codes0, cost0, bet0, prev0 = accept(oh_a, 0, codes0, cost0)
+        codes1, cost1, bet1, prev1 = accept(oh_b, half, codes1, cost1)
+
+        if with_stats:
+            cb = jnp.sum(
+                jnp.broadcast_to(bet0.astype(jnp.float32)[:, None], (half, 128))
+                + jnp.broadcast_to(
+                    bet1.astype(jnp.float32)[:, None], (half, 128)
+                ),
+                axis=0,
+            )
+            ch = (
+                jnp.sum((codes0 != prev0).astype(jnp.float32), axis=1)
+                + jnp.sum((codes1 != prev1).astype(jnp.float32), axis=1)
+            )
+            cc = jnp.sum(jnp.broadcast_to(ch[:, None], (half, 128)), axis=0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rounds, 128), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (rounds, 128), 0)
+            vec = jnp.where(lane == 0, cb[None, :], jnp.where(
+                lane == 1, cc[None, :], 0.0))
+            stats_acc = jnp.where(row == r, vec, stats_acc)
+
+        for s, ms in enumerate(milestones):
+            @pl.when(r == ms - 1)
+            def _write_ms(s=s, c0=codes0, c1=codes1, k0=cost0, k1=cost1):
+                out_ms_b_ref[s, 0:half] = c0
+                out_ms_b_ref[s, half:tile] = c1
+                out_ms_cost_ref[s, 0:half] = k0[:, None]
+                out_ms_cost_ref[s, half:tile] = k1[:, None]
+
+        return codes0, cost0, codes1, cost1, stats_acc
+
+    stats0 = jnp.zeros((rounds, 128), jnp.float32)
+    codes0, cost0, codes1, cost1, stats_acc = jax.lax.fori_loop(
+        0, rounds, one_round, (best0[0], best0[1], best1[0], best1[1], stats0)
+    )
+    out_b_ref[0:half] = codes0
+    out_b_ref[half:tile] = codes1
+    out_cost_ref[0:half] = cost0[:, None]
+    out_cost_ref[half:tile] = cost1[:, None]
+    if with_stats:
+        stats_ref[0] = stats_acc
+
+
 def _pad_h(unaries: Array, binaries_bf16: Array) -> tuple[Array, Array, int]:
     """Pad the code axis h up to a 128-lane multiple.
 
@@ -343,7 +533,7 @@ def _pad_h(unaries: Array, binaries_bf16: Array) -> tuple[Array, Array, int]:
     jax.jit,
     static_argnames=(
         "ilsiter", "icmiter", "npert", "tile", "interpret", "milestones",
-        "with_stats",
+        "with_stats", "variant",
     ),
 )
 def fused_ils_encode(
@@ -361,6 +551,7 @@ def fused_ils_encode(
     interpret: bool = False,
     milestones: tuple = (),
     with_stats: bool = False,
+    variant: str | None = None,
 ) -> tuple:
     """Run the ENTIRE ILS encode (ilsiter rounds) in one kernel launch.
 
@@ -451,6 +642,17 @@ def fused_ils_encode(
             jax.ShapeDtypeStruct((ngrid, ilsiter, 128), jnp.float32)
         )
 
+    if variant is None:
+        variant = os.environ.get("LSQ_TPU_ILS_VARIANT", "pp")
+    if variant == "pp":
+        kernel_fn = _ils_kernel_pp
+        scratch = [
+            pltpu.VMEM((tile // 2, m * h), jnp.bfloat16),
+            pltpu.VMEM((tile // 2, m * h), jnp.bfloat16),
+        ]
+    else:
+        kernel_fn = _ils_kernel
+        scratch = [pltpu.VMEM((tile, m * h), jnp.bfloat16)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # visits
         grid=(ngrid,),
@@ -465,10 +667,10 @@ def fused_ils_encode(
             pl.BlockSpec((ilsiter, tile, npert), lambda i, *_: (0, i, 0)),
         ],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((tile, m * h), jnp.bfloat16)],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
-        _ils_kernel, m=m, h=h, icmiter=icmiter, rounds=ilsiter, npert=npert,
+        kernel_fn, m=m, h=h, icmiter=icmiter, rounds=ilsiter, npert=npert,
         milestones=milestones, with_stats=with_stats,
     )
     outs = pl.pallas_call(
