@@ -215,6 +215,38 @@ def test_kernel_mode_non_lane_aligned_h(rng):
         assert newcost.mean() < cost0.mean()
 
 
+def test_fused_ils_kernel_m8_both_variants(rng):
+    """The m=8 PQ-width config through BOTH kernel variants (plain and
+    split-half pipelined): the reference's CUDA kernel hard-codes h=256 and
+    breaks off it (cudautils.cu:58,93-95); ours must be shape-generic.
+    Checks accept-if-better, code range, and fp32-grade in-kernel cost."""
+    from local_search_quantization_tpu.ops.icm_pallas import fused_ils_encode
+
+    n, d, m, h = 96, 16, 8, 32
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = (rng.normal(size=(m, h, d)) * 0.3).astype(np.float32)
+    B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    unaries = luts.get_unaries(jnp.asarray(X), jnp.asarray(C))
+    binaries = luts.get_binaries(jnp.asarray(C))
+    xsq = jnp.sum(jnp.asarray(X) ** 2, axis=-1)
+    cost0 = np.asarray(icm.cost_from_luts(xsq, unaries, binaries, jnp.asarray(B0)))
+    orders = jnp.tile(jnp.arange(m, dtype=jnp.int32), (3, 1))
+    for variant in ("base", "pp"):
+        B, kcost, _, _, _ = fused_ils_encode(
+            jax.random.PRNGKey(5), orders, unaries, binaries, xsq,
+            jnp.asarray(B0), ilsiter=3, icmiter=2, npert=2,
+            interpret=True, variant=variant,
+        )
+        B = np.asarray(B)
+        assert B.min() >= 0 and B.max() < h, variant
+        exact = np.asarray(icm.cost_from_luts(xsq, unaries, binaries, jnp.asarray(B)))
+        np.testing.assert_allclose(
+            np.asarray(kcost), exact, rtol=1e-4, atol=1e-3, err_msg=variant
+        )
+        assert (exact <= cost0 + 1e-3).all(), variant
+        assert exact.mean() < cost0.mean(), variant
+
+
 def test_fused_ils_in_kernel_cost_matches_decomposition(rng):
     """The in-kernel MRF cost (bf16 LUTs) must track the exact decomposition;
     a layout bug here silently corrupts accept-if-better decisions."""
