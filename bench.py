@@ -76,10 +76,10 @@ def main():
     t_hi = run(K_HI)
     vecs_per_sec = n * (K_HI - K_LO) / max(t_hi - t_lo, 1e-9)
     # MFU accounting (kernel mode): per vector per ILS round, icmiter*m
-    # visit matmuls at 2*(m*h)*h FLOP each + 2 hi/lo cost matmuls at
-    # 2*(m*h)^2, against the v5e's 197 TFLOP/s bf16 peak.
+    # visit matmuls at 2*(m*h)*h FLOP each + the upper-triangle hi/lo cost
+    # matmuls at 2*m*(m-1)*h^2 total, against the v5e's 197 TFLOP/s peak.
     mh = m * h
-    flops_per_vec = icmiter * m * 2 * mh * h + 2 * 2 * mh * mh
+    flops_per_vec = icmiter * m * 2 * mh * h + 2 * m * (m - 1) * h * h
     mfu = vecs_per_sec * flops_per_vec / 197e12
     print(
         f"[bench] MFU ~{100 * mfu:.0f}% of v5e bf16 peak "

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Device-resident marginal QPS of the fused scan+select kernel.
+
+Compares the cold (no-threshold) kernel against the warm-started wrapper
+(scan_topk_warm) at SIFT1M scale, timing with one tiny forced fetch so the
+number reflects device throughput, not the ~0.5-1 s tunnel fetch of the
+full [nq, k] result (see CLAUDE.md's timing notes). The warm wrapper's
+exactness-certificate sync is PART of its measured cost.
+
+Run from the repo root:
+    python -m benchmarks.bench_select [k] [tb ...]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from local_search_quantization_tpu.ops import adc
+    from local_search_quantization_tpu.ops.select_pallas import (
+        fused_scan_topk,
+        scan_topk_warm,
+    )
+
+    n, d, m, h = 1_000_000, 128, 7, 256
+    nq = 1024
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    tbs = [int(x) for x in sys.argv[2:]] or [1024, 2048]
+    rng = np.random.default_rng(0)
+    C = (rng.normal(size=(m, h, d)) * 36.0).astype(np.float32)
+    B = jnp.asarray(rng.integers(0, h, size=(n, m)).astype(np.int32))
+    Q = rng.integers(0, 256, size=(nq, d)).astype(np.float32)
+    dbn = jnp.asarray((rng.normal(size=n) ** 2 * 1e5).astype(np.float32))
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+    luts2 = adc.lsq_query_luts(jnp.asarray(Q + 1.0), jnp.asarray(C))
+
+    def timeit(fn):
+        d_, _ = fn(luts)  # compile + warm
+        _ = np.asarray(d_[:1, :1])
+        best = float("inf")
+        for lt in (luts2, luts):
+            t0 = time.perf_counter()
+            d_, _ = fn(lt)
+            _ = np.asarray(d_[:1, :1])  # force the chain, tiny fetch
+            best = min(best, time.perf_counter() - t0)
+        return nq / best
+
+    for tb in tbs:
+        cold = timeit(lambda lt: fused_scan_topk(lt, B, dbn, k=k, tb=tb))
+        warm = timeit(lambda lt: scan_topk_warm(lt, B, dbn, k=k, tb=tb))
+        print(f"k={k} tb={tb}: cold {cold:8,.0f} qps | warm {warm:8,.0f} qps",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -341,8 +341,10 @@ def _run_scan(
     if topk_method == "kernel":
         # Fused Pallas scan+select: the whole query set in one launch
         # (the kernel blocks queries internally), sorted exact top-k out.
+        # scan_topk_warm prunes with a sampled k-th-distance bound and
+        # certifies exactness (falls back to a cold exact run if not).
         from local_search_quantization_tpu.ops.select_pallas import (
-            fused_scan_topk,
+            scan_topk_warm,
         )
 
         luts = luts_fn(jnp.asarray(Q))
@@ -350,11 +352,21 @@ def _run_scan(
             extraj if extraj is not None
             else jnp.zeros(Bj.shape[0], jnp.float32)
         )
-        d, i = fused_scan_topk(
-            luts, Bj, extra_arr, k=k,
-            interpret=jax.default_backend() != "tpu",
+        interp = jax.default_backend() != "tpu"
+        d, i, bad = scan_topk_warm(
+            luts, Bj, extra_arr, k=k, interpret=interp, deferred=True,
         )
-        return KNNResult(np.asarray(d), np.asarray(i))
+        d_np, i_np = np.asarray(d), np.asarray(i)
+        if bad is not None and bool(np.asarray(bad)):
+            # Warm threshold under-captured (expected ~never, certificate
+            # failed): exact cold rerun.
+            from local_search_quantization_tpu.ops.select_pallas import (
+                fused_scan_topk,
+            )
+
+            d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k, interpret=interp)
+            d_np, i_np = np.asarray(d2), np.asarray(i2)
+        return KNNResult(d_np, i_np)
 
     # Dispatch ALL chunks asynchronously (JAX queues them back-to-back on
     # device), then fetch — a host sync per chunk would serialize compute

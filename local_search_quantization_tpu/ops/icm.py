@@ -275,6 +275,14 @@ def ils_encode(
         return ILSTrace(B, cost, msB, msC, frac_better, frac_changed)
 
     if condition_mode == "kernel":
+        from local_search_quantization_tpu.ops.icm_pallas import ils_kernel_fits
+
+        if not ils_kernel_fits(m, h):
+            # The kernel's resident LUTs (visit + hi/lo cost) exceed VMEM at
+            # this (m, h) — no tile size helps; take the XLA matmul path.
+            condition_mode = "matmul"
+
+    if condition_mode == "kernel":
         # Whole-ILS single-launch kernel: rounds, perturbation, cost and
         # accept all stay in VMEM (interpreted off-TPU).
         from local_search_quantization_tpu.ops.icm_pallas import fused_ils_encode

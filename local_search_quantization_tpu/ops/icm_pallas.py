@@ -130,6 +130,42 @@ def _icm_kernel_v2(order_ref, u_ref, bint_ref, b_ref, out_ref, oh_ref, *,
     )
 
 
+def _mrf_cost(oh_ref, bint_ref, bint_lo_ref, u_flat, xsq, *, m: int, h: int,
+              tile: int):
+    """Per-vector MRF cost from the one-hot state, at fp32-grade precision:
+
+        cost = ||x||^2 + <OH, U> + sum_{j<k} bin[k, j][B_k, B_j]
+
+    The pairwise term reuses the j-stacked VISIT LUT (and its bf16 lo
+    residual): for each j, the k>j row block of bint[j] contracted against
+    the k>j one-hot columns gives sum_{k>j} bin[k, j][B_k, :], and a dot
+    with one-hot j picks B_j. Upper-triangle-only costs m(m-1)*h^2 FLOPs/row
+    per hi/lo part — 2.3x less than the [mh, mh] full-matrix matmul it
+    replaces, and it needs NO extra [mh, mh] VMEM resident (that resident
+    was 49 MB at m=7, h=512 — the difference between fitting and OOM).
+    One-hot operands are exact in bf16; hi+lo carries ~16 LUT mantissa
+    bits, so the result tracks exact fp32 to ~1e-5 relative.
+    """
+    ohf = oh_ref[:, :].astype(jnp.float32)  # [tile, m*h]
+    pair = jnp.zeros((tile,), jnp.float32)
+    for j in range(m - 1):
+        lo_row = (j + 1) * h
+        ohs = oh_ref[:, lo_row:]  # [tile, (m-1-j)*h]
+        yh = jax.lax.dot_general(
+            ohs, bint_ref[j, lo_row:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tile, h]
+        yl = jax.lax.dot_general(
+            ohs, bint_lo_ref[j, lo_row:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ohj = ohf[:, j * h : (j + 1) * h]
+        pair = pair + jnp.sum((yh + yl) * ohj, axis=-1)
+    return xsq + jnp.sum(ohf * u_flat, axis=-1) + pair
+
+
 def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
                 milestones: tuple = (), with_stats: bool = False):
     """Whole-ILS kernel: rounds x (perturb -> ICM sweeps -> cost ->
@@ -140,10 +176,10 @@ def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
     encode_icm_cuda.jl:124-223) happens in-kernel: perturbation randomness is
     precomputed with jax.random and streamed in (tiny blocks), conditioning
     is one-hot x LUT matmuls. The round cost used for accept decisions is
-    computed from a hi/lo split-bf16 copy of the pairwise LUT (two matmuls:
-    bf16(v) + bf16(v - f32(bf16(v))) recovers ~16 mantissa bits), so
-    per-round accept-if-better operates at fp32-grade precision (~1e-5
-    relative), not raw-bf16 (~4e-3) — see CLAUDE.md's accept invariant.
+    fp32-grade (~1e-5 relative, not raw-bf16 ~4e-3 — see CLAUDE.md's accept
+    invariant): _mrf_cost contracts the resident j-stacked LUT plus its
+    bf16 residual (hi + lo recovers ~16 mantissa bits; one-hot operands are
+    exact in bf16), upper-triangle pairs only.
 
     Optional outputs (static config):
     - milestones: round indices (1-based) at which to snapshot best codes +
@@ -153,7 +189,7 @@ def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
       the reference's "% codes equal / % better" prints
       (encode_icm.jl:181-184).
     """
-    (visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
+    (visits_ref, u_ref, bint_ref, bint_lo_ref, xsq_ref, b_ref,
      pkeys_ref, pcodes_ref) = refs[:8]
     idx = 8
     out_b_ref, out_cost_ref = refs[idx], refs[idx + 1]
@@ -190,29 +226,10 @@ def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
         )
 
     def state_cost():
-        # cost = ||x||^2 + <OH, U_flat> + 0.5 * <OH, OH @ BINT_ALL> — the
-        # pairwise term uses the hi/lo split-bf16 LUT pair (two [tile, mh] x
-        # [mh, mh] matmuls with f32 accumulation): one-hot operands are
-        # exact in bf16 and hi+lo carries ~16 LUT mantissa bits, so the
-        # result tracks an exact-fp32 evaluation to ~1e-5 relative.
-        ohf = oh_ref[:, :].astype(jnp.float32)  # [tile, m*h]
-        u_flat = u_ref[:, :, :].reshape(tile, m * h)
-        cond_hi = jax.lax.dot_general(
-            oh_ref[:, :],
-            bint_all_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [tile, m*h]
-        cond_lo = jax.lax.dot_general(
-            oh_ref[:, :],
-            bint_all_ref[1],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (
-            xsq_ref[:, 0]
-            + jnp.sum(ohf * u_flat, axis=-1)
-            + 0.5 * jnp.sum(ohf * (cond_hi + cond_lo), axis=-1)
+        return _mrf_cost(
+            oh_ref, bint_ref, bint_lo_ref,
+            u_ref[:, :, :].reshape(tile, m * h), xsq_ref[:, 0],
+            m=m, h=h, tile=tile,
         )
 
     set_oh_from_codes(b_ref[:])
@@ -331,7 +348,7 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
     Semantics identical to _ils_kernel (same visits, same accept rule; row
     halves never interact — ILS is row-independent).
     """
-    (visits_ref, u_ref, bint_ref, bint_all_ref, xsq_ref, b_ref,
+    (visits_ref, u_ref, bint_ref, bint_lo_ref, xsq_ref, b_ref,
      pkeys_ref, pcodes_ref) = refs[:8]
     idx = 8
     out_b_ref, out_cost_ref = refs[idx], refs[idx + 1]
@@ -369,22 +386,11 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
         )
 
     def state_cost(oh_ref, r0):
-        ohf = oh_ref[:, :].astype(jnp.float32)
-        u_flat = u_ref[r0 : r0 + half].reshape(half, m * h)
-        cond_hi = jax.lax.dot_general(
-            oh_ref[:, :], bint_all_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        cond_lo = jax.lax.dot_general(
-            oh_ref[:, :], bint_all_ref[1],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (
-            xsq_ref[r0 : r0 + half, 0]
-            + jnp.sum(ohf * u_flat, axis=-1)
-            + 0.5 * jnp.sum(ohf * (cond_hi + cond_lo), axis=-1)
+        return _mrf_cost(
+            oh_ref, bint_ref, bint_lo_ref,
+            u_ref[r0 : r0 + half].reshape(half, m * h),
+            xsq_ref[r0 : r0 + half, 0],
+            m=m, h=h, tile=half,
         )
 
     for oh_ref, r0 in halves:
@@ -529,6 +535,39 @@ def _pad_h(unaries: Array, binaries_bf16: Array) -> tuple[Array, Array, int]:
     return unaries, binaries_bf16, hp
 
 
+def ils_kernel_fits(m: int, h: int) -> bool:
+    """Whether the whole-ILS kernel's FIXED VMEM residents (the hi + lo
+    j-stacked visit/cost LUTs) leave room for any useful tile. At m=7,
+    h=1024 the LUTs alone are ~205 MB — no tile size helps; callers should
+    fall back to the XLA matmul path (ils_encode does this automatically)."""
+    hp = max(128, -(-h // 128) * 128)
+    mh = m * hp
+    fixed = 2 * m * mh * hp * 2
+    return fixed <= 90 * 2**20
+
+
+def _default_ils_tile(m: int, h: int) -> int:
+    """Rows per grid step, from the VMEM budget (measured-calibrated).
+
+    Fixed residents: the j-stacked visit LUT (m*mh*h bf16) and the hi/lo
+    cost LUT pair (2*mh*mh bf16) — at m=7, h=512 these alone are 77 MB, so
+    the tile must shrink with m*h or the kernel OOMs VMEM (found live:
+    162 MB requested at tile=640, h=512, mostly register-allocator spills
+    of the [tile, mh] f32 cost temporaries). Per-row cost: unaries f32 +
+    one-hot state bf16 + ~6 live [*, mh] f32 temporaries in state_cost.
+    """
+    mh = m * h
+    fixed = 2 * m * mh * h * 2  # hi + lo j-stacked LUTs, bf16
+    avail = 110 * 2**20 - fixed
+    # ~68 bytes/row/mh-lane measured from the compiler's actual footprint
+    # (139.6 MB at m=7, h=512, tile=256 with the old [mh, mh] cost LUT:
+    # mostly register-allocator spills of [*, mh] f32 temporaries).
+    per_row = 68 * mh
+    cap = 640 if m <= 7 else 448  # best measured at h=256
+    t = min(cap, max(avail, 0) // per_row)
+    return max(64, (t // 16) * 16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -581,8 +620,9 @@ def fused_ils_encode(
     binaries = binaries.astype(jnp.float32)
     unaries, binaries, h = _pad_h(unaries, binaries)
     if tile is None:
-        default = 640 if m <= 7 else 448
-        tile = int(os.environ.get("LSQ_TPU_ILS_TILE", str(default)))
+        tile = int(
+            os.environ.get("LSQ_TPU_ILS_TILE", str(_default_ils_tile(m, h)))
+        )
     pad = (-n) % tile
     if pad:
         B = jnp.concatenate([B, jnp.zeros((pad, m), B.dtype)])
@@ -594,19 +634,14 @@ def fused_ils_encode(
             [xsq, jnp.full((pad,), -1e30, xsq.dtype)]
         )
     npad = n + pad
-    bint = binaries_to_j_stacked(binaries.astype(jnp.bfloat16))
-    # Same data laid out for the one-shot cost matmul: column blocks by j.
-    # bint_all[k*h + a, j*h + c] = binaries[k, j][a, c], diagonal blocks 0.
-    # binaries is indexed [k, j, a, c]; rows must group (k, a), columns
-    # (j, c). Split into bf16 hi + bf16 lo so the cost matmuls recover ~16
-    # mantissa bits (one-hot left operands are exact in bf16).
-    mask = (1.0 - jnp.eye(m, dtype=jnp.float32))[:, :, None, None]
-    bint_all_f32 = (
-        (binaries * mask).transpose(0, 2, 1, 3).reshape(m * h, m * h)
-    )
-    hi = bint_all_f32.astype(jnp.bfloat16)
-    lo = (bint_all_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    bint_all = jnp.stack([hi, lo])  # [2, m*h, m*h] bf16
+    # The j-stacked visit LUT (bf16 round of the binaries) doubles as the
+    # hi part of the fp32-grade cost path (_mrf_cost); its bf16 residual
+    # is the lo part. Stacking is linear, so stack-then-round == round-
+    # then-stack and the diagonal zeroing carries through.
+    b_hi = binaries.astype(jnp.bfloat16)
+    b_lo = (binaries - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bint = binaries_to_j_stacked(b_hi)  # [m, m*h, h]
+    bint_lo = binaries_to_j_stacked(b_lo)
     visits = jnp.repeat(
         orders.astype(jnp.int32), icmiter, axis=0
     ).reshape(-1)  # [ilsiter * icmiter * m]; same order within a round
@@ -660,7 +695,7 @@ def fused_ils_encode(
             pl.BlockSpec((tile, m, h), lambda i, *_: (i, 0, 0),
                          pipeline_mode=pl.Buffered(buffer_count=1)),
             pl.BlockSpec((m, m * h, h), lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec((2, m * h, m * h), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((m, m * h, h), lambda i, *_: (0, 0, 0)),
             pl.BlockSpec((tile, 1), lambda i, *_: (i, 0)),
             pl.BlockSpec((tile, m), lambda i, *_: (i, 0)),
             pl.BlockSpec((ilsiter, tile, m), lambda i, *_: (0, i, 0)),
@@ -684,7 +719,7 @@ def fused_ils_encode(
             vmem_limit_bytes=127 * 1024 * 1024
         ),
         interpret=interpret,
-    )(visits, unaries, bint, bint_all, xsq[:, None], B, pert_keys, pert_codes)
+    )(visits, unaries, bint, bint_lo, xsq[:, None], B, pert_keys, pert_codes)
     out_b, out_cost = outs[0][:n], outs[1][:n, 0]
     oi = 2
     ms_b = ms_cost = stats = None

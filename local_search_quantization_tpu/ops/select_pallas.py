@@ -13,8 +13,13 @@ selection entirely:
   f32-grade ADC distances);
 - selection: each query keeps an insertion-sorted top-k buffer in VMEM.
   Per code tile, elements are extracted only while they beat the current
-  k-th best (expected total inserts per query = k + k*ln(n/k) ~ 8k at
-  k=1000, n=1M — almost every tile is a pure threshold reject);
+  per-query threshold (expected total inserts per query without warm start
+  = k + k*ln(n/k) ~ 8k at k=1000, n=1M);
+- warm start (scan_topk_warm): a strided-sample pre-scan estimates a
+  conservative k-th-distance bound per query, passed in as a static
+  threshold — inserts drop to ~1.3-2x k (the ln(n/k) factor disappears),
+  with an exactness certificate (buffer slot k-1 filled => provably exact;
+  the rare under-capture is detected and falls back to an exact cold run);
 - the sorted buffer doubles as the kernel output: results come back
   already sorted ascending, ids exact.
 
@@ -29,17 +34,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
 
-def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
+def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
                    out_d_ref, out_i_ref, dist_ref, *,
                    m: int, h: int, k: int, cap: int, tb: int, nqt: int):
     t = pl.program_id(1)
-    ntiles = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _init():
@@ -67,46 +72,60 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
     )
     dist_ref[:] = dhi + dlo + extra_ref[0, :][None, :]
 
-    # --- Extract every element beating the current per-query k-th best. ---
+    # --- Extract every element beating the per-query threshold, which is
+    # min(k-th best so far, warm-start bound t0). The threshold only
+    # tightens, so killing an inactive query's tile-minimum is always safe
+    # (it is >= the threshold and can never be needed later). The loop
+    # carries the next (min, argmin) so no separate "pending" pass over
+    # the [nqt, tb] tile is ever made.
     lane_cap = jax.lax.broadcasted_iota(jnp.int32, (nqt, cap), dimension=1)
     lane_tb = jax.lax.broadcasted_iota(jnp.int32, (nqt, tb), dimension=1)
 
     def kth():
-        return jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k))  # [nqt,1]
+        return jnp.minimum(
+            jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k)),
+            t0_ref[:, :],
+        )  # [nqt, 1]
 
-    def pending():
-        return jnp.sum((dist_ref[:, :] < kth()).astype(jnp.float32))
+    def min_arg():
+        dist = dist_ref[:, :]
+        vmin = jnp.min(dist, axis=1, keepdims=True)  # [nqt, 1]
+        idx = jnp.argmin(dist, axis=1).astype(jnp.int32)[:, None]
+        return vmin, idx
 
     def body(carry):
-        dist = dist_ref[:, :]
-        vmin = jnp.min(dist, axis=1)  # [nqt]
-        idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
-        act = (vmin[:, None] < kth())  # [nqt, 1]
+        vmin, idx, _ = carry
+        act = vmin < kth()  # [nqt, 1]
 
-        # Kill the extracted element (unconditionally: inactive queries
-        # can't re-activate within this tile since their k-th only
-        # tightens on insert).
-        dist_ref[:, :] = jnp.where(lane_tb == idx[:, None], jnp.inf, dist)
+        # Kill the extracted element (unconditionally: inactive queries'
+        # minima are >= the monotonically-tightening threshold).
+        dist_ref[:, :] = jnp.where(lane_tb == idx, jnp.inf, dist_ref[:, :])
 
-        # Predicated sorted insert at pos = #(buffer < v).
+        # Predicated sorted insert at pos = #(buffer < v); inactive rows
+        # get pos = cap, which leaves the buffer untouched (every lane is
+        # "below" the insert point).
         buf_d, buf_i = out_d_ref[:, :], out_i_ref[:, :]
-        pos = jnp.sum((buf_d < vmin[:, None]).astype(jnp.int32), axis=1)
-        below = lane_cap < pos[:, None]
-        at = lane_cap == pos[:, None]
-        new_d = jnp.where(
+        pos = jnp.sum((buf_d < vmin).astype(jnp.int32), axis=1, keepdims=True)
+        pos = jnp.where(act, pos, cap)
+        below = lane_cap < pos
+        at = lane_cap == pos
+        out_d_ref[:, :] = jnp.where(
             below, buf_d,
-            jnp.where(at, vmin[:, None], pltpu.roll(buf_d, 1, axis=1)),
+            jnp.where(at, vmin, pltpu.roll(buf_d, 1, axis=1)),
         )
         gid = t * tb + idx
-        new_i = jnp.where(
+        out_i_ref[:, :] = jnp.where(
             below, buf_i,
-            jnp.where(at, gid[:, None], pltpu.roll(buf_i, 1, axis=1)),
+            jnp.where(at, gid, pltpu.roll(buf_i, 1, axis=1)),
         )
-        out_d_ref[:, :] = jnp.where(act, new_d, buf_d)
-        out_i_ref[:, :] = jnp.where(act, new_i, buf_i)
-        return pending()
 
-    jax.lax.while_loop(lambda c: c > 0.0, body, pending())
+        vmin2, idx2 = min_arg()
+        cont = jnp.sum((vmin2 < kth()).astype(jnp.float32))
+        return vmin2, idx2, cont
+
+    vmin0, idx0 = min_arg()
+    cont0 = jnp.sum((vmin0 < kth()).astype(jnp.float32))
+    jax.lax.while_loop(lambda c: c[2] > 0.0, body, (vmin0, idx0, cont0))
 
 
 def _pick_nqt(nq: int) -> int:
@@ -132,6 +151,7 @@ def fused_scan_topk(
     tb: int = 1024,
     nqt: int | None = None,
     interpret: bool = False,
+    t0: Array | None = None,
 ):
     """Exact kNN over the full base in ONE kernel launch per query set.
 
@@ -141,6 +161,9 @@ def fused_scan_topk(
       extra: [n] float32 additive term (db norms; zeros for PQ). Padded
         rows get +inf so they can never be selected.
       k: neighbors to return (sorted ascending).
+      t0: optional [nq, 1] float32 warm-start threshold (see
+        scan_topk_warm): only elements with distance < t0 are collected.
+        The result is certified exact iff dists[:, k-1] < t0.
 
     Returns (dists [nq, k] f32, ids [nq, k] int32).
     """
@@ -157,10 +180,13 @@ def fused_scan_topk(
             [extra, jnp.full((pad_n,), jnp.inf, extra.dtype)]
         )
     pad_q = (-nq) % nqt
+    if t0 is None:
+        t0 = jnp.full((nq, 1), jnp.inf, jnp.float32)
     if pad_q:
         luts = jnp.concatenate(
             [luts, jnp.broadcast_to(luts[-1:], (pad_q, m, h))]
         )
+        t0 = jnp.concatenate([t0, jnp.broadcast_to(t0[-1:], (pad_q, 1))])
     nqp = nq + pad_q
     npad = n + pad_n
 
@@ -180,6 +206,7 @@ def fused_scan_topk(
             pl.BlockSpec((nqt, m * h), lambda q, t: (q, 0)),
             pl.BlockSpec((tb, m), lambda q, t: (t, 0)),
             pl.BlockSpec((1, tb), lambda q, t: (0, t)),
+            pl.BlockSpec((nqt, 1), lambda q, t: (q, 0)),
         ],
         out_specs=[
             pl.BlockSpec((nqt, cap), lambda q, t: (q, 0)),
@@ -194,5 +221,72 @@ def fused_scan_topk(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(hi, lo, B, extra[None, :])
+    )(hi, lo, B, extra[None, :], t0)
     return out_d[:nq, :k], out_i[:nq, :k]
+
+
+def scan_topk_warm(
+    luts: Array,
+    B: Array,
+    extra: Array,
+    *,
+    k: int,
+    tb: int = 2048,
+    nqt: int | None = None,
+    interpret: bool = False,
+    sample_stride: int = 16,
+    min_n: int = 1 << 16,
+    sample_rank: int | None = None,
+    deferred: bool = False,
+    min_k: int = 512,
+):
+    """fused_scan_topk with a sampled warm-start threshold. Always exact.
+
+    Pre-scans every `sample_stride`-th code and takes each query's
+    `rank`-th sample distance as a static pruning bound t0, where rank =
+    k/stride + 6*sqrt(k/stride) (a >=6-sigma upper bound on the true k-th
+    distance, so P[t0 < true kth] ~ 1e-8 per query). The main scan then
+    inserts only elements < t0 — expected inserts drop from k*(1+ln(n/k))
+    (~8k at k=1000, n=1M) to ~1.3k. Exactness certificate: an element ever
+    inserted is < t0, so slot k-1 being filled proves >= k elements beat
+    t0 and the buffer holds the true sorted top-k; if ANY query's slot
+    k-1 is >= t0 (under-capture), rerun everything without the bound.
+
+    This is the TPU answer to the C++ scanner's partial_sort design point
+    (linscan_aqd.cpp:91): selection cost ~ k, not ~ k*ln(n/k).
+
+    deferred=True returns (dists, ids, bad) with `bad` a device-side scalar
+    bool instead of syncing on it here — callers that fetch the results
+    anyway (e.g. adc._run_scan) check it at their own fetch boundary and
+    rerun cold iff set, saving one ~35 ms host round-trip per query block.
+    """
+    n = B.shape[0]
+    # Small k: the cold scan's insert count k*(1+ln(n/k)) is already cheap
+    # and the sample pre-scan + certificate overhead outweighs the savings
+    # (measured at k=100, n=1M: warm 6.5k qps vs cold 10.1k).
+    if k < min_k or k * sample_stride * 2 > n or n < min_n:
+        d, i = fused_scan_topk(
+            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret
+        )
+        return (d, i, None) if deferred else (d, i)
+    if sample_rank is None:
+        kk = k / sample_stride
+        sample_rank = int(np.ceil(kk + 6.0 * np.sqrt(kk) + 1.0))
+    Bs = B[::sample_stride]
+    es = extra[::sample_stride]
+    ds, _ = fused_scan_topk(
+        luts, Bs, es, k=sample_rank, tb=tb, nqt=nqt, interpret=interpret
+    )
+    t0 = ds[:, sample_rank - 1 : sample_rank]
+    d, i = fused_scan_topk(
+        luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret, t0=t0
+    )
+    bad = jnp.any(d[:, k - 1 :] >= t0)
+    if deferred:
+        return d, i, bad
+    if bool(np.asarray(bad)):
+        # t0 under-captured for >=1 query (expected ~never): exact cold run.
+        return fused_scan_topk(
+            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret
+        )
+    return d, i

@@ -145,6 +145,47 @@ def test_linscan_select_kernel_exact(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_scan_topk_warm_start_exact_and_fallback(rng):
+    """Warm-started select kernel: (a) the sampled threshold path returns
+    the exact sorted top-k; (b) a deliberately-undersized sample rank
+    (t0 < true k-th distance) trips the exactness certificate and the
+    cold-run fallback, still returning the exact result."""
+    from local_search_quantization_tpu.ops.select_pallas import scan_topk_warm
+
+    n, nq, d, m, h, k = 8192, 5, 8, 3, 8, 33
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+    full = -2.0 * Q @ recon.T + dbn[None, :]
+    oracle_d = np.sort(full, axis=1)[:, :k]
+
+    for rank in (None, 1):  # None = 6-sigma sampled rank; 1 = force fallback
+        dd, ii = scan_topk_warm(
+            luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024,
+            interpret=True, sample_stride=4, min_n=0, min_k=0,
+            sample_rank=rank,
+        )
+        dd, ii = np.asarray(dd), np.asarray(ii)
+        np.testing.assert_allclose(dd, oracle_d, rtol=1e-4, atol=1e-4)
+        assert (np.diff(dd, axis=1) >= -1e-6).all()
+        np.testing.assert_allclose(
+            np.take_along_axis(full, ii, axis=1), dd, rtol=1e-4, atol=1e-4
+        )
+
+    # Deferred mode: the certificate comes back as a device flag — clear
+    # for a sound sample rank, set for the deliberately-broken one.
+    for rank, expect_bad in ((None, False), (1, True)):
+        _, _, bad = scan_topk_warm(
+            luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024,
+            interpret=True, sample_stride=4, min_n=0, min_k=0,
+            sample_rank=rank, deferred=True,
+        )
+        assert bool(np.asarray(bad)) == expect_bad
+
+
 def test_linscan_tournament_exactly_matches_streaming(rng):
     """The group-minima tournament is EXACT: identical distances to the
     streaming lax.top_k path, in both stash-the-tiles and O(1)-memory

@@ -247,6 +247,19 @@ def test_fused_ils_kernel_m8_both_variants(rng):
         assert exact.mean() < cost0.mean(), variant
 
 
+def test_ils_kernel_fits_predicate():
+    """VMEM-fit predicate: production shapes fit; LUT-explosion shapes
+    (m*h so large the resident cost LUTs alone exceed VMEM) do not —
+    ils_encode falls back to the matmul path for those."""
+    from local_search_quantization_tpu.ops.icm_pallas import ils_kernel_fits
+
+    for m, h in [(7, 256), (8, 256), (7, 512), (8, 512), (4, 64), (7, 20),
+                 (2, 2048)]:
+        assert ils_kernel_fits(m, h), (m, h)
+    for m, h in [(7, 1024), (8, 1024), (16, 512), (4, 2048)]:
+        assert not ils_kernel_fits(m, h), (m, h)
+
+
 def test_fused_ils_in_kernel_cost_matches_decomposition(rng):
     """The in-kernel MRF cost (bf16 LUTs) must track the exact decomposition;
     a layout bug here silently corrupts accept-if-better decisions."""
