@@ -165,6 +165,11 @@ def fused_scan_topk(
         scan_topk_warm): only elements with distance < t0 are collected.
         The result is certified exact iff dists[:, k-1] < t0.
 
+    Per-shard use inside shard_map requires check_vma=False on the
+    shard_map (parallel/query.py does this): pallas outputs carry no
+    varying-manual-axes type, and the kernel-internal iotas would clash
+    with vma-typed operands under the interpret-mode trace.
+
     Returns (dists [nq, k] f32, ids [nq, k] int32).
     """
     nq, m, h = luts.shape

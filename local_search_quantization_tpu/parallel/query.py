@@ -36,19 +36,50 @@ def sharded_scan_topk(
     *,
     block: int = 1 << 15,
     axis: str = DATA_AXIS,
+    method: str = "auto",
 ) -> KNNResult:
     """Scan a sharded code database; return global top-k per query.
 
     B: [n, m] sharded on `axis` (n divisible by mesh size * no padding —
     callers pad with +inf `extra` rows as in ops/adc._run_scan).
+
+    method: "scan" = per-block lax.top_k streaming merge; "kernel" = the
+    fused Pallas scan+select kernel per shard (ops/select_pallas.py, the
+    single-chip fast path — 16x the scan merge at k=1000; interpreted
+    off-TPU); "auto" picks "kernel" on TPU for moderate k.
     """
     nshards = mesh.shape[axis]
     shard_n = B.shape[0] // nshards
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        method = "kernel" if on_tpu and k <= 2048 and 4 * k < shard_n else "scan"
 
     def local(luts, B, extra):
         idx = jax.lax.axis_index(axis)
-        res = _scan_topk(luts, B, extra, k, min(block, B.shape[0]),
-                         pvary_axis=axis)
+        if method == "kernel":
+            from local_search_quantization_tpu.ops.select_pallas import (
+                fused_scan_topk,
+            )
+
+            e = extra if extra is not None else jnp.zeros(
+                B.shape[0], jnp.float32
+            )
+            d_, i_ = fused_scan_topk(
+                luts, B, e, k=min(k, B.shape[0]),
+                interpret=jax.default_backend() != "tpu",
+            )
+            if k > B.shape[0]:  # tiny-shard: pad honest sentinels
+                padw = k - B.shape[0]
+                d_ = jnp.concatenate(
+                    [d_, jnp.full((d_.shape[0], padw), jnp.inf)], axis=1
+                )
+                i_ = jnp.concatenate(
+                    [i_, jnp.full((i_.shape[0], padw), -1, jnp.int32)], axis=1
+                )
+            res = KNNResult(d_, i_)
+        else:
+            res = _scan_topk(luts, B, extra, k, min(block, B.shape[0]),
+                             pvary_axis=axis)
         # Unfilled slots (k > valid rows in this shard) carry the -1 id
         # sentinel; offsetting it would forge a plausible id on another
         # shard. Keep the sentinel — its +inf distance loses the merge to
@@ -63,6 +94,11 @@ def sharded_scan_topk(
         mesh=mesh,
         in_specs=(P(), P(axis, None), in_extra),
         out_specs=KNNResult(P(axis, None, None), P(axis, None, None)),
+        # The pallas path's outputs carry no varying-manual-axes typing
+        # (and its internal iotas clash with vma-typed refs under the
+        # interpret-mode trace), so vma checking is off for it; the scan
+        # path keeps the stricter typing via explicit pcasts.
+        check_vma=(method != "kernel"),
     )
     per_shard = fn(luts, B, extra)  # [S, nq, k] each
 
@@ -86,6 +122,7 @@ def sharded_linscan_pq(
     R: Array | None = None,
     query_chunk: int = 1024,
     block: int = 1 << 15,
+    method: str = "auto",
 ) -> KNNResult:
     """Multi-chip PQ/OPQ scanner: shard codes, replicate subspace LUTs.
 
@@ -116,7 +153,8 @@ def sharded_linscan_pq(
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = pq_query_luts(replicated(mesh, jnp.asarray(qc)), Cr)
-        res = sharded_scan_topk(mesh, luts, Bs, es, k, block=block)
+        res = sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
+                                method=method)
         out_d.append(np.asarray(res.dists)[: query_chunk - npad])
         out_i.append(np.asarray(res.ids)[: query_chunk - npad])
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
@@ -132,6 +170,7 @@ def sharded_linscan_lsq(
     *,
     query_chunk: int = 1024,
     block: int = 1 << 15,
+    method: str = "auto",
 ) -> KNNResult:
     """Multi-chip additive-code scanner driver (host-side query chunking)."""
     from local_search_quantization_tpu.parallel.mesh import replicated, shard_batch
@@ -157,7 +196,8 @@ def sharded_linscan_lsq(
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = lsq_query_luts(replicated(mesh, jnp.asarray(qc)), Cr)
-        res = sharded_scan_topk(mesh, luts, Bs, es, k, block=block)
+        res = sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
+                                method=method)
         out_d.append(np.asarray(res.dists)[: query_chunk - npad])
         out_i.append(np.asarray(res.ids)[: query_chunk - npad])
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))

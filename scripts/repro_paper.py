@@ -107,7 +107,13 @@ def main():
 
     # === PQ m=8 (demos/demo_pq.jl config) ===
     t = time.time()
-    pq = train_pq(x_train, PQConfig(m=8, h=h, niter=args.niter, seed=args.seed))
+    # PQ has no outer EM loop — its k-means gets a generous iteration cap
+    # (the reference delegates to Clustering.kmeans' own convergence,
+    # demo_pq.jl / PQ.jl:59).
+    pq = train_pq(
+        x_train,
+        PQConfig(m=8, h=h, kmeans_maxiter=max(25, args.niter), seed=args.seed),
+    )
     Bb = np.asarray(quantize_pq(x_base, pq.C_sub))
     res = adc.linscan_pq(Bb, x_query, pq.C_sub, k=args.knn)
     table["methods"]["PQ"] = {

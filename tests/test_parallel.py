@@ -107,6 +107,28 @@ def test_sharded_query_tiny_shards_k_exceeds_shard(rng, mesh):
     assert np.asarray(multi2.ids).min() >= 0
 
 
+def test_sharded_query_kernel_method_matches_scan(rng, mesh):
+    """method='kernel' (per-shard fused Pallas scan+select, interpreted on
+    the virtual CPU mesh) must return the same distances as the lax.top_k
+    streaming merge, including with k larger than a shard."""
+    from local_search_quantization_tpu.ops import costs
+    from local_search_quantization_tpu.parallel.query import sharded_linscan_lsq
+
+    n, nq, d, m, h = 1024, 3, 8, 2, 8
+    C = rng.normal(size=(m, h, d)).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    for k in (7, 200):  # 200 > shard size 128: exercises sentinel padding
+        a = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k=k,
+                                query_chunk=4, block=64, method="scan")
+        b = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k=k,
+                                query_chunk=4, block=64, method="kernel")
+        np.testing.assert_allclose(b.dists, a.dists, rtol=1e-4, atol=1e-4)
+        assert b.ids.min() >= 0 and b.ids.max() < n
+
+
 def test_graft_entry_single_and_multi():
     import __graft_entry__ as g
 
