@@ -563,7 +563,9 @@ def _default_ils_tile(m: int, h: int) -> int:
     # (139.6 MB at m=7, h=512, tile=256 with the old [mh, mh] cost LUT:
     # mostly register-allocator spills of [*, mh] f32 temporaries).
     per_row = 68 * mh
-    cap = 640 if m <= 7 else 448  # best measured at h=256
+    # Best measured at h=256 with the upper-triangle cost path (r2 sweep:
+    # 768 > 896 > 640 at m=7; pp variant > base at every tile).
+    cap = 768 if m <= 7 else 448
     t = min(cap, max(avail, 0) // per_row)
     return max(64, (t // 16) * 16)
 
