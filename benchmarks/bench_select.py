@@ -8,7 +8,7 @@ full [nq, k] result (see CLAUDE.md's timing notes). The warm wrapper's
 exactness-certificate sync is PART of its measured cost.
 
 Run from the repo root:
-    python -m benchmarks.bench_select [k] [tb ...]
+    python -m benchmarks.bench_select [k] [nq] [tb ...]
 """
 
 import sys
@@ -28,9 +28,9 @@ def main():
     )
 
     n, d, m, h = 1_000_000, 128, 7, 256
-    nq = 1024
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    tbs = [int(x) for x in sys.argv[2:]] or [1024, 2048]
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    tbs = [int(x) for x in sys.argv[3:]] or [1024, 2048]
     rng = np.random.default_rng(0)
     C = (rng.normal(size=(m, h, d)) * 36.0).astype(np.float32)
     B = jnp.asarray(rng.integers(0, h, size=(n, m)).astype(np.int32))
@@ -50,11 +50,15 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return nq / best
 
+    nqts = [None] if nq <= 1024 else [None, nq]  # None = _pick_nqt (<=1024)
     for tb in tbs:
-        cold = timeit(lambda lt: fused_scan_topk(lt, B, dbn, k=k, tb=tb))
-        warm = timeit(lambda lt: scan_topk_warm(lt, B, dbn, k=k, tb=tb))
-        print(f"k={k} tb={tb}: cold {cold:8,.0f} qps | warm {warm:8,.0f} qps",
-              flush=True)
+        for nqt in nqts:
+            cold = timeit(lambda lt: fused_scan_topk(
+                lt, B, dbn, k=k, tb=tb, nqt=nqt))
+            warm = timeit(lambda lt: scan_topk_warm(
+                lt, B, dbn, k=k, tb=tb, nqt=nqt))
+            print(f"k={k} nq={nq} tb={tb} nqt={nqt or 'auto'}: "
+                  f"cold {cold:8,.0f} qps | warm {warm:8,.0f} qps", flush=True)
 
 
 if __name__ == "__main__":

@@ -394,6 +394,15 @@ def encode_chunked(
     milestones / with_stats behave as in ils_encode (milestone codes are
     stitched across chunks; per-round stats are weighted by chunk size).
 
+    Chunks are dispatched ahead of fetching (up to `max_in_flight` queued
+    on device): JAX runs the per-chunk programs back-to-back, overlapping
+    each chunk's H2D upload and result D2H with the previous chunk's
+    compute. A host sync per chunk would serialize ~35 ms RPC + transfer
+    against compute on a tunneled backend; the reference GPU encoder syncs
+    per split (encode_icm_cuda.jl:270-288). The in-flight bound caps
+    device memory at ~max_in_flight * chunk * d * 4 bytes of queued inputs
+    (SIFT1B-scale safe).
+
     Accepts numpy or JAX arrays; returns host-side ILSResult (or ILSTrace).
     """
     import numpy as np
@@ -408,21 +417,18 @@ def encode_chunked(
             milestones=milestones, with_stats=with_stats,
         )
     )
+    max_in_flight = 4
+    pending = []  # (device result, valid rows, padded rows) per chunk
+
     outB, outcost = [], []
     out_msB = [[] for _ in milestones]
     out_msc = [[] for _ in milestones]
     fb_acc = fc_acc = None
     total = 0
-    for start in range(0, n, chunk):
-        stop = min(start + chunk, n)
-        xs, bs = np.asarray(X[start:stop]), np.asarray(B0[start:stop])
-        pad = chunk - (stop - start) if (stop - start) < chunk and start > 0 else 0
-        if pad:
-            xs = np.concatenate([xs, np.broadcast_to(xs[-1:], (pad,) + xs.shape[1:])])
-            bs = np.concatenate([bs, np.broadcast_to(bs[-1:], (pad,) + bs.shape[1:])])
-        key, sub = jax.random.split(key)
-        res = fn(sub, jnp.asarray(xs), jnp.asarray(bs))
-        valid = stop - start
+
+    def drain_one():
+        nonlocal fb_acc, fc_acc, total
+        res, valid, pad = pending.pop(0)
         outB.append(np.asarray(res.B)[:valid])
         outcost.append(np.asarray(res.cost)[:valid])
         if milestones:
@@ -439,6 +445,22 @@ def encode_chunked(
             fb_acc = fb if fb_acc is None else fb_acc + fb
             fc_acc = fc if fc_acc is None else fc_acc + fc
             total += w
+
+    for start in range(0, n, chunk):
+        stop = min(start + chunk, n)
+        xs, bs = np.asarray(X[start:stop]), np.asarray(B0[start:stop])
+        pad = chunk - (stop - start) if (stop - start) < chunk and start > 0 else 0
+        if pad:
+            xs = np.concatenate([xs, np.broadcast_to(xs[-1:], (pad,) + xs.shape[1:])])
+            bs = np.concatenate([bs, np.broadcast_to(bs[-1:], (pad,) + bs.shape[1:])])
+        key, sub = jax.random.split(key)
+        pending.append((fn(sub, jnp.asarray(xs), jnp.asarray(bs)),
+                        stop - start, pad))
+        if len(pending) >= max_in_flight:
+            drain_one()
+    while pending:
+        drain_one()
+
     B = np.concatenate(outB)
     cost = np.concatenate(outcost)
     if not milestones and not with_stats:
