@@ -317,9 +317,15 @@ def _run_scan(
     k = min(k, n)
     if topk_method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        topk_method = (
-            "kernel" if on_tpu and k <= 2048 and 4 * k < n else "exact"
-        )
+        if on_tpu and k <= 2048 and 4 * k < n:
+            topk_method = "kernel"
+        elif 4 * k < n:
+            # Large k (the reference's linscan default is k=10000,
+            # Linscan.jl:5): the group-minima tournament is exact and far
+            # cheaper than the per-block lax.top_k merge.
+            topk_method = "tournament"
+        else:
+            topk_method = "exact"
     pad = (-n) % base_block
     if pad:
         B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
