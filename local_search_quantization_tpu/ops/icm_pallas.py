@@ -639,8 +639,12 @@ def fused_ils_encode(
     # The j-stacked visit LUT (bf16 round of the binaries) doubles as the
     # hi part of the fp32-grade cost path (_mrf_cost); its bf16 residual
     # is the lo part. Stacking is linear, so stack-then-round == round-
-    # then-stack and the diagonal zeroing carries through.
-    b_hi = binaries.astype(jnp.bfloat16)
+    # then-stack and the diagonal zeroing carries through. The barrier
+    # forces the bf16 rounding to materialize: under
+    # --xla_allow_excess_precision=true XLA would keep the cast in excess
+    # f32 precision and fold the residual to zero (select_pallas._split_hi_lo
+    # documents the live failure).
+    b_hi = jax.lax.optimization_barrier(binaries.astype(jnp.bfloat16))
     b_lo = (binaries - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     bint = binaries_to_j_stacked(b_hi)  # [m, m*h, h]
     bint_lo = binaries_to_j_stacked(b_lo)

@@ -128,6 +128,18 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
     jax.lax.while_loop(lambda c: c[2] > 0.0, body, (vmin0, idx0, cont0))
 
 
+def _split_hi_lo(x: Array) -> tuple[Array, Array]:
+    """f32 -> (bf16 hi, bf16 lo residual), hi + lo carrying ~16 mantissa
+    bits. The barrier forces the hi rounding to MATERIALIZE: under
+    --xla_allow_excess_precision=true (set by some TPU runtimes) XLA keeps
+    the bf16 cast in excess f32 precision, folding the residual to zero
+    and silently degrading the split to plain bf16 (found live: 5e-3
+    relative ADC error instead of ~1e-5)."""
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _pick_nqt(nq: int) -> int:
     """Query-block rows: one big block minimizes extraction iterations
     (sum over tiles of max-over-queries hit counts — measured 3,828 qps at
@@ -174,6 +186,14 @@ def fused_scan_topk(
     """
     nq, m, h = luts.shape
     n = B.shape[0]
+    if h % 128:
+        # Pad the per-codebook LUT axis to the TPU lane width (cf. the ILS
+        # kernel's _pad_h: Mosaic rejects shape casts at odd widths). Codes
+        # stay < h, so the one-hot never selects a padded column and the
+        # padded LUT entries (zeros) never contribute.
+        hp = -(-h // 128) * 128
+        luts = jnp.pad(luts, ((0, 0), (0, 0), (0, hp - h)))
+        h = hp
     if nqt is None:
         nqt = _pick_nqt(nq)
     cap = max(128, -(-k // 128) * 128)
@@ -196,8 +216,7 @@ def fused_scan_topk(
     npad = n + pad_n
 
     flat = luts.reshape(nqp, m * h)
-    hi = flat.astype(jnp.bfloat16)
-    lo = (flat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, lo = _split_hi_lo(flat)
 
     grid = (nqp // nqt, npad // tb)
     kernel = functools.partial(

@@ -37,6 +37,7 @@ def sharded_ils_encode(
     icmiter: int,
     npert: int,
     randord: bool = True,
+    condition_mode: str = "auto",
     axis: str = DATA_AXIS,
 ) -> ILSResult:
     """ILS-encode a database sharded over the mesh's data axis.
@@ -44,13 +45,20 @@ def sharded_ils_encode(
     Per-shard RNG streams are decorrelated by folding the shard index into
     the key; the ICM visit order stays identical across shards (as in the
     reference, where the master picks one `randperm(m)` per round).
+    condition_mode "auto" resolves to the fused whole-ILS Pallas kernel on
+    TPU (each shard runs the single-chip fast path), the XLA gather path
+    elsewhere.
     """
+    from local_search_quantization_tpu.ops.icm import resolve_condition_mode
+
+    mode = resolve_condition_mode(condition_mode)
 
     def local(key, X, B0, C):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         return ils_encode(
             key, X, B0, C,
             ilsiter=ilsiter, icmiter=icmiter, npert=npert, randord=randord,
+            condition_mode=mode,
         )
 
     fn = shard_map(
@@ -58,6 +66,9 @@ def sharded_ils_encode(
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None), P()),
         out_specs=ILSResult(P(axis, None), P(axis)),
+        # The pallas path's outputs carry no varying-manual-axes typing
+        # (see parallel/query.py) — vma checking off for it.
+        check_vma=(mode != "kernel"),
     )
     return fn(key, X, B0, C)
 

@@ -186,6 +186,30 @@ def test_scan_topk_warm_start_exact_and_fallback(rng):
         assert bool(np.asarray(bad)) == expect_bad
 
 
+def test_select_kernel_non_lane_aligned_h(rng):
+    """h not a multiple of the 128-lane width must pad transparently in
+    the select kernel (codes never reach padded LUT columns)."""
+    from local_search_quantization_tpu.ops.select_pallas import fused_scan_topk
+
+    for h in (20, 200):
+        n, nq, d, m, k = 2048, 3, 8, 3, 9
+        C = (rng.normal(size=(m, h, d))).astype(np.float32)
+        B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+        Q = rng.normal(size=(nq, d)).astype(np.float32)
+        recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+        dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+        luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+        dd, ii = fused_scan_topk(
+            luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=512,
+            interpret=True,
+        )
+        full = -2.0 * Q @ recon.T + dbn[None, :]
+        oracle = np.sort(full, axis=1)[:, :k]
+        np.testing.assert_allclose(np.asarray(dd), oracle, rtol=1e-4,
+                                   atol=1e-4)
+        assert np.asarray(ii).max() < n
+
+
 def test_linscan_tournament_exactly_matches_streaming(rng):
     """The group-minima tournament is EXACT: identical distances to the
     streaming lax.top_k path, in both stash-the-tiles and O(1)-memory

@@ -107,6 +107,30 @@ def test_sharded_query_tiny_shards_k_exceeds_shard(rng, mesh):
     assert np.asarray(multi2.ids).min() >= 0
 
 
+def test_sharded_ils_encode_kernel_mode(rng, mesh):
+    """The whole-ILS Pallas kernel composes with shard_map (interpret on
+    the virtual mesh): per-vector accept-if-better must hold per shard."""
+    from local_search_quantization_tpu.ops import costs
+    from local_search_quantization_tpu.parallel.encode import sharded_ils_encode
+    from local_search_quantization_tpu.parallel.mesh import replicated, shard_batch
+
+    n, d, m, h = 256, 16, 4, 16
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = (rng.normal(size=(m, h, d)) * 0.3).astype(np.float32)
+    B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    cost0 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C)))
+    res = sharded_ils_encode(
+        mesh, jax.random.PRNGKey(0),
+        shard_batch(mesh, jnp.asarray(X)), shard_batch(mesh, jnp.asarray(B0)),
+        replicated(mesh, jnp.asarray(C)),
+        ilsiter=2, icmiter=2, npert=1, condition_mode="kernel",
+    )
+    newcost = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(res.B), jnp.asarray(C)))
+    assert (newcost <= cost0 + 1e-3).all()
+    assert newcost.mean() < cost0.mean()
+    np.testing.assert_allclose(np.asarray(res.cost), newcost, rtol=1e-4, atol=1e-3)
+
+
 def test_sharded_query_kernel_method_matches_scan(rng, mesh):
     """method='kernel' (per-shard fused Pallas scan+select, interpreted on
     the virtual CPU mesh) must return the same distances as the lax.top_k
