@@ -304,17 +304,42 @@ def _run_scan(
     base_block: int = 1 << 16,
     mode: str = "matmul",
     topk_method: str = "auto",
+    base_segment: int = 1 << 26,
 ) -> KNNResult:
     """Driver: chunk queries on host, pad base to a block multiple, scan.
 
     topk_method="auto" routes to the fused Pallas scan+select kernel on TPU
     for moderate k (measured 3,828 qps at k=1000 x 1M codes vs 330 for the
     per-block lax.top_k merge), the streaming merge otherwise.
+
+    Bases larger than `base_segment` rows (default 64M ~ 1.8 GB of codes)
+    never land on the device whole: they stream through in host-side
+    segments whose per-segment top-k lists are merged on the host — the
+    SIFT1B-scale analog of the reference scanners' 1e7-entry buffering
+    (linscan_aqd.cpp:52-53).
     """
     Q = np.asarray(Q)
     B = np.asarray(B)
     n = B.shape[0]
     k = min(k, n)
+    if n > base_segment:
+        parts = []
+        for s0 in range(0, n, base_segment):
+            s1 = min(s0 + base_segment, n)
+            seg = _run_scan(
+                luts_fn, Q, B[s0:s1], k=min(k, s1 - s0),
+                extra=None if extra is None else np.asarray(extra)[s0:s1],
+                query_chunk=query_chunk, base_block=base_block, mode=mode,
+                topk_method=topk_method, base_segment=base_segment,
+            )
+            parts.append(KNNResult(seg.dists, seg.ids + s0))
+        d_all = np.concatenate([p.dists for p in parts], axis=1)
+        i_all = np.concatenate([p.ids for p in parts], axis=1)
+        order = np.argsort(d_all, axis=1, kind="stable")[:, :k]
+        return KNNResult(
+            np.take_along_axis(d_all, order, axis=1),
+            np.take_along_axis(i_all, order, axis=1),
+        )
     if topk_method == "auto":
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and k <= 2048 and 4 * k < n:

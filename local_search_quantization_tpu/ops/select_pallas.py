@@ -143,10 +143,12 @@ def _split_hi_lo(x: Array) -> tuple[Array, Array]:
 def _pick_nqt(nq: int) -> int:
     """Query-block rows: one big block minimizes extraction iterations
     (sum over tiles of max-over-queries hit counts — measured 3,828 qps at
-    nqt=1024 vs 891 at nqt=256, k=1000, n=1M on a v5e); small query sets
-    get the next power of two to avoid 10x pad waste."""
+    nqt=1024 vs 891 at nqt=256, and 6,796 vs 6,643 for one 2048-block vs
+    two 1024-blocks, k=1000, n=1M on a v5e); small query sets get the next
+    power of two to avoid 10x pad waste. Capped at 2048: with the k <=
+    2048 routing gate the VMEM working set stays ~65 MB."""
     nqt = 128
-    while nqt < 1024 and nqt < nq:
+    while nqt < 2048 and nqt < nq:
         nqt *= 2
     return nqt
 

@@ -186,6 +186,24 @@ def test_scan_topk_warm_start_exact_and_fallback(rng):
         assert bool(np.asarray(bad)) == expect_bad
 
 
+def test_linscan_base_segmentation_matches_whole(rng):
+    """Host-side base segmentation (the >HBM streaming path) must return
+    exactly the whole-base result, ids globally offset."""
+    n, nq, d, m, h, k = 3000, 4, 8, 2, 8, 11
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    whole = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=4,
+                            base_block=256)
+    seg = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=4,
+                          base_block=256, base_segment=1024)
+    np.testing.assert_allclose(np.asarray(seg.dists), np.asarray(whole.dists),
+                               rtol=1e-5, atol=1e-5)
+    assert np.asarray(seg.ids).min() >= 0 and np.asarray(seg.ids).max() < n
+
+
 def test_select_kernel_non_lane_aligned_h(rng):
     """h not a multiple of the 128-lane width must pad transparently in
     the select kernel (codes never reach padded LUT columns)."""

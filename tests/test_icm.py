@@ -247,6 +247,34 @@ def test_fused_ils_kernel_m8_both_variants(rng):
         assert exact.mean() < cost0.mean(), variant
 
 
+def test_ils_encode_fuzz_shapes(rng):
+    """Randomized (m, h, d, n) sweep: the kernel path must uphold the
+    accept-if-better contract at arbitrary shapes (insurance against the
+    reference's hard-coded-shape failure mode, cudautils.cu:58,93-95)."""
+    for _ in range(5):
+        m = int(rng.integers(2, 9))
+        h = int(rng.integers(3, 40))
+        d = int(rng.integers(4, 33))
+        n = int(rng.integers(5, 150))
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        C = (rng.normal(size=(m, h, d)) * 0.4).astype(np.float32)
+        B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+        cost0 = np.asarray(
+            costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C))
+        )
+        res = icm.ils_encode(
+            jax.random.PRNGKey(n), jnp.asarray(X), jnp.asarray(B0),
+            jnp.asarray(C), ilsiter=2, icmiter=1, npert=1,
+            condition_mode="kernel",
+        )
+        B = np.asarray(res.B)
+        assert B.min() >= 0 and B.max() < h, (m, h, d, n)
+        newcost = np.asarray(
+            costs.veccost(jnp.asarray(X), res.B, jnp.asarray(C))
+        )
+        assert (newcost <= cost0 + 1e-3).all(), (m, h, d, n)
+
+
 def test_ils_kernel_fits_predicate():
     """VMEM-fit predicate: production shapes fit; LUT-explosion shapes
     (m*h so large the resident cost LUTs alone exceed VMEM) do not —
