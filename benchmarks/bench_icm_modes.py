@@ -28,14 +28,15 @@ def main():
             )
         )
         res = step(key, B)
-        jax.block_until_ready(res)
+        _ = np.asarray(res.cost[:1])  # block_until_ready is a no-op on the
+        # tunneled backend; a tiny host fetch forces the chain (CLAUDE.md)
         iters = 5
         t0 = time.perf_counter()
         bb = B
         for i in range(iters):
             res = step(jax.random.fold_in(key, i), bb)
             bb = res.B
-        jax.block_until_ready(res)
+        _ = np.asarray(res.cost[:1])
         dt = time.perf_counter() - t0
         print(f"{mode:8s}: {n * iters / dt:12.0f} vec/s  ({dt / iters * 1e3:.1f} ms/round)")
 

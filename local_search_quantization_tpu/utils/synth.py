@@ -48,11 +48,12 @@ def synthetic_dataset(
         ).astype(np.float32)
 
     train, base, query = draw(n_train), draw(n_base), draw(n_query)
-    # Exact NN (small sizes; chunked to bound memory).
+    # Exact NN ground truth, query-chunked GEMM (one matvec per query is
+    # BLAS-2 / memory-bound — ~40x slower at 1M x 10k scale).
     gt = np.empty(n_query, np.int64)
-    bs = 1024
     b2 = (base * base).sum(1)
-    for i in range(n_query):
-        d2 = b2 - 2.0 * base @ query[i]
-        gt[i] = int(np.argmin(d2))
+    qc = 256
+    for s in range(0, n_query, qc):
+        d2 = b2[None, :] - 2.0 * query[s : s + qc] @ base.T
+        gt[s : s + qc] = np.argmin(d2, axis=1)
     return SynthData(train, base, query, gt)
