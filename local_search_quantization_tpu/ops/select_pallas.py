@@ -199,6 +199,13 @@ def fused_scan_topk(
     if nqt is None:
         nqt = _pick_nqt(nq)
     cap = max(128, -(-k // 128) * 128)
+    # VMEM guard (calibrated on a live OOM: nqt=2048 at m*h=2048, tb=2048,
+    # cap=1024 compiles to ~115 MB): per-query-row cost = hi/lo LUTs +
+    # dist scratch + d/i buffers + compiler slack; step the query block
+    # down until the estimate fits the 127 MB scoped limit with headroom.
+    per_row = m * h * 4 + tb * 4 + cap * 8 + 22 * 1024
+    while nqt > 128 and nqt * per_row + tb * m * h * 4 > 118 * 2**20:
+        nqt //= 2
 
     pad_n = (-n) % tb
     if pad_n:
@@ -244,7 +251,7 @@ def fused_scan_topk(
         ],
         scratch_shapes=[pltpu.VMEM((nqt, tb), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=127 * 1024 * 1024
         ),
         interpret=interpret,
     )(hi, lo, B, extra[None, :], t0)
