@@ -101,7 +101,22 @@ def train_lsq(
         objs.append(obj)
         if verbose:
             print(f"{it:3d} {obj:.6e}")
-        C = update_codebooks(X, B, h, **solve_kwargs)
+        # Stochastic relaxation (LSQ++, arXiv:1806.05643; beyond the
+        # reference): temperature anneals linearly to zero, noise scaled to
+        # the current per-dimension residual, so the final iterations are
+        # plain LSQ and the accept-if-better encode contract is untouched.
+        temp = max(0.0, 1.0 - it / config.niter)
+        if config.sr_method == "SR-D" and temp > 0.0:
+            key, knoise = jax.random.split(key)
+            std = jnp.sqrt(temp * obj / X.shape[1])
+            Xt = X + std * jax.random.normal(knoise, X.shape, X.dtype)
+            C = update_codebooks(Xt, B, h, **solve_kwargs)
+        else:
+            C = update_codebooks(X, B, h, **solve_kwargs)
+            if config.sr_method == "SR-C" and temp > 0.0:
+                key, knoise = jax.random.split(key)
+                std = jnp.sqrt(temp * obj / (X.shape[1] * config.m))
+                C = C + std * jax.random.normal(knoise, C.shape, C.dtype)
         key, sub = jax.random.split(key)
         B, cost = encode(sub, B, C)
 

@@ -69,12 +69,22 @@ class LSQConfig:
     # ICM conditioning backend: "auto" = fused Pallas kernel on TPU, XLA
     # gathers elsewhere; or force "gather" / "matmul" / "fused".
     condition_mode: str = "auto"
+    # Stochastic relaxation (beyond the reference; LSQ++, Martinez et al.
+    # ECCV 2018, arXiv:1806.05643): "SR-D" perturbs the data targets of the
+    # codebook update, "SR-C" perturbs the updated codebooks, both with
+    # residual-scaled noise annealed linearly to zero — escapes the local
+    # minima plain LSQ's EM converges to. "none" = reference behavior.
+    sr_method: str = "none"
     seed: int = 0
 
     def __post_init__(self):
         _check_mh(self.m, self.h)
         if not 0 <= self.npert <= self.m:
             raise ValueError(f"npert must be in [0, m], got {self.npert}")
+        if self.sr_method not in ("none", "SR-D", "SR-C"):
+            raise ValueError(
+                f"sr_method must be none/SR-D/SR-C, got {self.sr_method!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

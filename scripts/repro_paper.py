@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--knn", type=int, default=1000)
     ap.add_argument("--milestones", default="16,32")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sr", default="none", choices=["none", "SR-D", "SR-C"],
+                    help="LSQ stochastic relaxation (LSQ++, beyond the "
+                         "reference)")
     ap.add_argument("--out", default="recall_table.json")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -146,7 +149,8 @@ def main():
     chain = train_chainq(
         x_train, opq7.B, opq7.R, ChainQConfig(m=m_lsq, h=h, niter=args.niter)
     )
-    lsq_cfg = LSQConfig(m=m_lsq, h=h, niter=args.niter, seed=args.seed)
+    lsq_cfg = LSQConfig(m=m_lsq, h=h, niter=args.niter, seed=args.seed,
+                        sr_method=args.sr)
     lsq = train_lsq(x_train, chain.B, chain.R, lsq_cfg, verbose=True)
     B0 = random_codes(args.seed, x_base.shape[0], m_lsq, h)
     enc = icm.encode_chunked(

@@ -90,6 +90,42 @@ def test_chainq_then_lsq_pipeline(data):
     assert rec[99] > 0.85
 
 
+def test_lsq_stochastic_relaxation_variants(data):
+    """SR-D / SR-C (LSQ++, arXiv:1806.05643; beyond the reference): the
+    annealed-noise trainers must stay sane (noise reaches zero by the last
+    iteration, so the final solve+encode is plain LSQ) and land within a
+    small factor of — typically below — the plain-LSQ objective."""
+    import dataclasses
+
+    import pytest
+
+    from local_search_quantization_tpu.models import train_chainq, train_opq
+    from local_search_quantization_tpu.utils.config import ChainQConfig, OPQConfig
+
+    m, h = 4, 16
+    opq = train_opq(data.train, OPQConfig(m=m, h=h, niter=3, seed=2))
+    chain = train_chainq(data.train, opq.B, opq.R, ChainQConfig(m=m, h=h, niter=2))
+    base_cfg = LSQConfig(m=m, h=h, niter=6, ilsiter=2, icmiter=2, npert=1, seed=2)
+    finals = {}
+    for sr in ("none", "SR-D", "SR-C"):
+        lsq = train_lsq(
+            data.train, chain.B, chain.R,
+            dataclasses.replace(base_cfg, sr_method=sr),
+        )
+        finals[sr] = float(
+            costs.qerror(jnp.asarray(data.train), lsq.B, lsq.C)
+        )
+        assert np.isfinite(finals[sr]), sr
+    # At test scale (6 iters) the annealing has little room — only bound
+    # the damage; the quality WIN shows at paper scale/iteration counts
+    # (see BASELINE.md). SR-C is the noisier variant.
+    assert finals["SR-D"] <= finals["none"] * 1.10
+    assert finals["SR-C"] <= finals["none"] * 1.25
+
+    with pytest.raises(ValueError):
+        dataclasses.replace(base_cfg, sr_method="bogus")
+
+
 def test_lsq_objective_nonincreasing(data):
     """Monotonicity invariant the reference only prints (SURVEY.md §4.2):
     with accept-if-better encoding and exact LS codebook updates, the
