@@ -60,6 +60,8 @@ def main():
                          "--ilsiter-base with the last milestone.")
     ap.add_argument("--knn", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sr", default="none", choices=["none", "SR-D", "SR-C"],
+                    help="stochastic relaxation (LSQ++; beyond the reference)")
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (e.g. cpu) before any backend use")
     ap.add_argument("--synth-d", type=int, default=64,
@@ -74,7 +76,8 @@ def main():
 
     x_train, x_base, x_query, gt = load_data(args)
     m, h = args.m, args.h
-    lsq_cfg = LSQConfig(m=m, h=h, niter=args.niter, seed=args.seed)
+    lsq_cfg = LSQConfig(m=m, h=h, niter=args.niter, seed=args.seed,
+                        sr_method=args.sr)
 
     if args.load_model:
         lsq = load_model(args.load_model)
