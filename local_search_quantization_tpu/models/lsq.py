@@ -79,7 +79,7 @@ def train_lsq(
         res = ils_encode(sub, X, B, C, **ils_kwargs, with_stats=verbose)
         if verbose:
             fb = np.asarray(res.frac_better) * 100
-            feq = (1.0 - np.asarray(res.frac_changed)) * 100
+            feq = np.asarray(res.frac_equal) * 100
             print(
                 "    ILS rounds: "
                 + " ".join(

@@ -45,14 +45,16 @@ class ILSTrace(NamedTuple):
     """ILS result plus observability extras (reference parity features:
     the GPU encoder's `ilsiters::Vector` milestone API,
     encode_icm_cuda.jl:26,211-222, and the CPU encoder's per-round
-    "% codes equal / % better" prints, encode_icm.jl:181-184)."""
+    "N new codes are equal / better" prints, encode_icm.jl:179-184)."""
 
     B: Array  # [n, m] final codes
     cost: Array  # [n] final per-vector cost
     milestone_B: Array | None  # [n_ms, n, m] codes after milestones[i] rounds
     milestone_cost: Array | None  # [n_ms, n]
     frac_better: Array | None  # [ilsiter] fraction of vectors improved/round
-    frac_changed: Array | None  # [ilsiter] fraction of code entries changed
+    # Fraction of vectors whose PROPOSAL cost equals the previous cost
+    # (the reference's `newcost .== prevcost` count, encode_icm.jl:180).
+    frac_equal: Array | None  # [ilsiter]
 
 
 def perturb_codes(key: Array, B: Array, npert: int, h: int) -> Array:
@@ -203,13 +205,6 @@ def icm_sweeps(
     return B
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "ilsiter", "icmiter", "npert", "randord", "condition_mode",
-        "milestones", "with_stats",
-    ),
-)
 def ils_encode(
     key: Array,
     X: Array,
@@ -221,10 +216,44 @@ def ils_encode(
     npert: int,
     randord: bool = True,
     condition_mode: str = "gather",
-    milestones: tuple | None = None,
+    milestones=None,
     with_stats: bool = False,
 ) -> ILSResult | ILSTrace:
     """Encode X against codebooks C with `ilsiter` rounds of perturb+ICM.
+
+    Thin non-jitted wrapper: normalizes `milestones` to a hashable tuple
+    (jit static args reject lists) before entering the jitted body.
+    """
+    return _ils_encode_jit(
+        key, X, B0, C, ilsiter=ilsiter, icmiter=icmiter, npert=npert,
+        randord=randord, condition_mode=condition_mode,
+        milestones=tuple(milestones) if milestones else (),
+        with_stats=with_stats,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "ilsiter", "icmiter", "npert", "randord", "condition_mode",
+        "milestones", "with_stats",
+    ),
+)
+def _ils_encode_jit(
+    key: Array,
+    X: Array,
+    B0: Array,
+    C: Array,
+    *,
+    ilsiter: int,
+    icmiter: int,
+    npert: int,
+    randord: bool,
+    condition_mode: str,
+    milestones: tuple,
+    with_stats: bool,
+) -> ILSResult | ILSTrace:
+    """Jitted ILS encode body (see ils_encode).
 
     Equivalent to `ilsiter` calls of the reference's `encoding_icm`
     (encode_icm.jl:131-189) fused into one compiled program: the unary and
@@ -256,9 +285,14 @@ def ils_encode(
     xsq = jnp.sum(X * X, axis=-1)
     cost0 = cost_from_luts(xsq, unaries, binaries, B0)
 
-    def finalize(B, ms_B, ms_cost_ignored, frac_better, frac_changed):
+    def finalize(B, ms_B, ms_cost_ignored, frac_better, frac_equal):
         """Exact-fp32 boundary recheck vs B0 for the final codes and every
-        milestone (the accept contract, encode_icm.jl:177-186)."""
+        milestone (the accept contract, encode_icm.jl:177-186). Milestones
+        are then chained to the running exact-fp32 best — the kernel path's
+        in-flight accepts use the hi/lo metric (~1e-5 rel), so without the
+        chain a later milestone could be epsilon-worse than an earlier one
+        in the exact metric; this enforces per-vector monotonicity in
+        exactly the sense the docstring promises."""
         def recheck(Bc):
             c = cost_from_luts(xsq, unaries, binaries, Bc)
             ok = c < cost0
@@ -270,9 +304,22 @@ def ils_encode(
         msB = msC = None
         if milestones:
             pairs = [recheck(ms_B[s]) for s in range(len(milestones))]
-            msB = jnp.stack([p[0] for p in pairs])
-            msC = jnp.stack([p[1] for p in pairs])
-        return ILSTrace(B, cost, msB, msC, frac_better, frac_changed)
+            chained = [pairs[0]]
+            for s in range(1, len(pairs)):
+                pb, pc = chained[-1]
+                nb, nc = pairs[s]
+                keep = nc < pc
+                chained.append(
+                    (jnp.where(keep[:, None], nb, pb), jnp.where(keep, nc, pc))
+                )
+            msB = jnp.stack([p[0] for p in chained])
+            msC = jnp.stack([p[1] for p in chained])
+            # The final result is at least as good as the last milestone.
+            lb, lc = chained[-1]
+            keep = cost < lc
+            B = jnp.where(keep[:, None], B, lb)
+            cost = jnp.where(keep, cost, lc)
+        return ILSTrace(B, cost, msB, msC, frac_better, frac_equal)
 
     if condition_mode == "kernel":
         from local_search_quantization_tpu.ops.icm_pallas import ils_kernel_fits
@@ -304,7 +351,7 @@ def ils_encode(
         fb = fc = None
         if with_stats:
             fb = stats[:, 0] / n
-            fc = stats[:, 1] / (n * m)
+            fc = stats[:, 1] / n
         return finalize(B, ms_B, None, fb, fc)
 
     if condition_mode == "fused":
@@ -339,9 +386,11 @@ def ils_encode(
         better = newcost < cost
         B_new = jnp.where(better[:, None], Bp, B)
         cost_new = jnp.where(better, newcost, cost)
+        # Reference stats (encode_icm.jl:179-184): counts of vectors whose
+        # proposal cost is better / exactly equal, before the accept.
         stats = (
             jnp.mean(better.astype(jnp.float32)),
-            jnp.mean((B_new != B).astype(jnp.float32)),
+            jnp.mean((newcost == cost).astype(jnp.float32)),
         )
         if n_ms:
             hit = r == ms_rounds  # [n_ms]
@@ -441,7 +490,7 @@ def encode_chunked(
             # weighted mean exact over what was actually measured.
             w = valid + pad
             fb = np.asarray(res.frac_better) * w
-            fc = np.asarray(res.frac_changed) * w
+            fc = np.asarray(res.frac_equal) * w
             fb_acc = fb if fb_acc is None else fb_acc + fb
             fc_acc = fc if fc_acc is None else fc_acc + fc
             total += w

@@ -281,8 +281,8 @@ def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
         # --- Accept-if-better, restore state otherwise ---
         newcost = state_cost()
         better = newcost < best_cost
+        equal = newcost == best_cost  # reference stat (encode_icm.jl:180)
         cand = extract_codes()
-        prev_codes = best_codes
         best_codes = jnp.where(better[:, None], cand, best_codes)
         best_cost = jnp.where(better, newcost, best_cost)
         bet = better[:, None]
@@ -302,12 +302,13 @@ def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
                 ),
                 axis=0,
             )  # [128], every lane = count(better)
-            changed_rows = jnp.sum(
-                (best_codes != prev_codes).astype(jnp.float32), axis=1
-            )  # [tile]
             cc = jnp.sum(
-                jnp.broadcast_to(changed_rows[:, None], (tile, 128)), axis=0
-            )
+                jnp.broadcast_to(
+                    equal.astype(jnp.float32)[:, None], (tile, 128)
+                ),
+                axis=0,
+            )  # count(proposal cost == previous) — padded rows always
+            # satisfy this (xsq floor -1e30); the wrapper subtracts them.
             lane = jax.lax.broadcasted_iota(jnp.int32, (rounds, 128), 1)
             row = jax.lax.broadcasted_iota(jnp.int32, (rounds, 128), 0)
             vec = jnp.where(lane == 0, cb[None, :], jnp.where(
@@ -454,8 +455,8 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
         def accept(oh_ref, r0, best_codes, best_cost):
             newcost = state_cost(oh_ref, r0)
             better = newcost < best_cost
+            equal = newcost == best_cost
             cand = extract_codes(oh_ref)
-            prev = best_codes
             best_codes = jnp.where(better[:, None], cand, best_codes)
             best_cost = jnp.where(better, newcost, best_cost)
             bet = better[:, None]
@@ -465,10 +466,10 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
                     jnp.bfloat16
                 )
                 oh_ref[:, k * h : (k + 1) * h] = jnp.where(bet, keep, restored)
-            return best_codes, best_cost, better, prev
+            return best_codes, best_cost, better, equal
 
-        codes0, cost0, bet0, prev0 = accept(oh_a, 0, codes0, cost0)
-        codes1, cost1, bet1, prev1 = accept(oh_b, half, codes1, cost1)
+        codes0, cost0, bet0, eq0 = accept(oh_a, 0, codes0, cost0)
+        codes1, cost1, bet1, eq1 = accept(oh_b, half, codes1, cost1)
 
         if with_stats:
             cb = jnp.sum(
@@ -478,11 +479,15 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
                 ),
                 axis=0,
             )
-            ch = (
-                jnp.sum((codes0 != prev0).astype(jnp.float32), axis=1)
-                + jnp.sum((codes1 != prev1).astype(jnp.float32), axis=1)
+            # count(proposal cost == previous), reference stat; padded rows
+            # (xsq floor -1e30) always count — the wrapper subtracts them.
+            cc = jnp.sum(
+                jnp.broadcast_to(eq0.astype(jnp.float32)[:, None], (half, 128))
+                + jnp.broadcast_to(
+                    eq1.astype(jnp.float32)[:, None], (half, 128)
+                ),
+                axis=0,
             )
-            cc = jnp.sum(jnp.broadcast_to(ch[:, None], (half, 128)), axis=0)
             lane = jax.lax.broadcasted_iota(jnp.int32, (rounds, 128), 1)
             row = jax.lax.broadcasted_iota(jnp.int32, (rounds, 128), 0)
             vec = jnp.where(lane == 0, cb[None, :], jnp.where(
@@ -570,13 +575,6 @@ def _default_ils_tile(m: int, h: int) -> int:
     return max(64, (t // 16) * 16)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "ilsiter", "icmiter", "npert", "tile", "interpret", "milestones",
-        "with_stats", "variant",
-    ),
-)
 def fused_ils_encode(
     key: Array,
     orders: Array,
@@ -590,11 +588,63 @@ def fused_ils_encode(
     npert: int,
     tile: int | None = None,
     interpret: bool = False,
-    milestones: tuple = (),
+    milestones=(),
     with_stats: bool = False,
     variant: str | None = None,
 ) -> tuple:
     """Run the ENTIRE ILS encode (ilsiter rounds) in one kernel launch.
+
+    Thin non-jitted wrapper: resolves the LSQ_TPU_ILS_TILE /
+    LSQ_TPU_ILS_VARIANT env knobs and the default tile HERE so they become
+    part of the jit cache key (reading them inside the jitted body would
+    bake the first-seen value into the cached executable and silently
+    ignore later changes), normalizes `milestones` to a hashable tuple,
+    and rounds the tile to even for the split-half "pp" variant.
+    """
+    m = B.shape[1]
+    hp = max(128, -(-unaries.shape[-1] // 128) * 128)
+    if variant is None:
+        variant = os.environ.get("LSQ_TPU_ILS_VARIANT", "pp")
+    if tile is None:
+        tile = int(
+            os.environ.get("LSQ_TPU_ILS_TILE", str(_default_ils_tile(m, hp)))
+        )
+    if variant == "pp":
+        tile = max(16, tile - (tile % 2))
+    return _fused_ils_encode_jit(
+        key, orders, unaries, binaries, xsq, B,
+        ilsiter=ilsiter, icmiter=icmiter, npert=npert, tile=tile,
+        interpret=interpret,
+        milestones=tuple(milestones) if milestones else (),
+        with_stats=with_stats, variant=variant,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ilsiter", "icmiter", "npert", "tile", "interpret", "milestones",
+        "with_stats", "variant",
+    ),
+)
+def _fused_ils_encode_jit(
+    key: Array,
+    orders: Array,
+    unaries: Array,
+    binaries: Array,
+    xsq: Array,
+    B: Array,
+    *,
+    ilsiter: int,
+    icmiter: int,
+    npert: int,
+    tile: int,
+    interpret: bool,
+    milestones: tuple,
+    with_stats: bool,
+    variant: str,
+) -> tuple:
+    """Jitted body of fused_ils_encode (which resolves tile/variant).
 
     Args:
       key: jax PRNG key for the perturbation randomness (precomputed on host
@@ -621,10 +671,6 @@ def fused_ils_encode(
     h_real = unaries.shape[-1]
     binaries = binaries.astype(jnp.float32)
     unaries, binaries, h = _pad_h(unaries, binaries)
-    if tile is None:
-        tile = int(
-            os.environ.get("LSQ_TPU_ILS_TILE", str(_default_ils_tile(m, h)))
-        )
     pad = (-n) % tile
     if pad:
         B = jnp.concatenate([B, jnp.zeros((pad, m), B.dtype)])
@@ -639,13 +685,11 @@ def fused_ils_encode(
     # The j-stacked visit LUT (bf16 round of the binaries) doubles as the
     # hi part of the fp32-grade cost path (_mrf_cost); its bf16 residual
     # is the lo part. Stacking is linear, so stack-then-round == round-
-    # then-stack and the diagonal zeroing carries through. The barrier
-    # forces the bf16 rounding to materialize: under
-    # --xla_allow_excess_precision=true XLA would keep the cast in excess
-    # f32 precision and fold the residual to zero (select_pallas._split_hi_lo
-    # documents the live failure).
-    b_hi = jax.lax.optimization_barrier(binaries.astype(jnp.bfloat16))
-    b_lo = (binaries - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # then-stack and the diagonal zeroing carries through. _split_hi_lo's
+    # optimization_barrier is load-bearing (excess-precision folding).
+    from local_search_quantization_tpu.ops.select_pallas import _split_hi_lo
+
+    b_hi, b_lo = _split_hi_lo(binaries)
     bint = binaries_to_j_stacked(b_hi)  # [m, m*h, h]
     bint_lo = binaries_to_j_stacked(b_lo)
     visits = jnp.repeat(
@@ -683,8 +727,6 @@ def fused_ils_encode(
             jax.ShapeDtypeStruct((ngrid, ilsiter, 128), jnp.float32)
         )
 
-    if variant is None:
-        variant = os.environ.get("LSQ_TPU_ILS_VARIANT", "pp")
     if variant == "pp":
         kernel_fn = _ils_kernel_pp
         scratch = [
@@ -734,6 +776,9 @@ def fused_ils_encode(
         oi += 2
     if with_stats:
         stats = jnp.sum(outs[oi][:, :, :2], axis=0)  # [ilsiter, 2] counts
+        # Padded rows always register "proposal cost equal" (their xsq
+        # floor freezes the cost); remove them from that count.
+        stats = jnp.maximum(stats - jnp.asarray([0.0, float(pad)]), 0.0)
     return out_b, out_cost, ms_b, ms_cost, stats
 
 

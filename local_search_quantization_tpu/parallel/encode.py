@@ -66,9 +66,9 @@ def sharded_ils_encode(
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None), P()),
         out_specs=ILSResult(P(axis, None), P(axis)),
-        # The pallas path's outputs carry no varying-manual-axes typing
-        # (see parallel/query.py) — vma checking off for it.
-        check_vma=(mode != "kernel"),
+        # The pallas paths' outputs carry no varying-manual-axes typing
+        # (see parallel/query.py) — vma checking off for both of them.
+        check_vma=(mode not in ("kernel", "fused")),
     )
     return fn(key, X, B0, C)
 

@@ -130,6 +130,17 @@ def test_sharded_ils_encode_kernel_mode(rng, mesh):
     assert newcost.mean() < cost0.mean()
     np.testing.assert_allclose(np.asarray(res.cost), newcost, rtol=1e-4, atol=1e-3)
 
+    # The per-round "fused" Pallas path is also vma-exempt (regression:
+    # check_vma only exempted "kernel", crashing mode="fused" at trace).
+    res2 = sharded_ils_encode(
+        mesh, jax.random.PRNGKey(1),
+        shard_batch(mesh, jnp.asarray(X)), shard_batch(mesh, jnp.asarray(B0)),
+        replicated(mesh, jnp.asarray(C)),
+        ilsiter=1, icmiter=1, npert=1, condition_mode="fused",
+    )
+    c2 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(res2.B), jnp.asarray(C)))
+    assert (c2 <= cost0 + 1e-3).all()
+
 
 def test_sharded_query_kernel_method_matches_scan(rng, mesh):
     """method='kernel' (per-shard fused Pallas scan+select, interpreted on
