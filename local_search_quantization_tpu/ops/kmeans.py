@@ -45,9 +45,18 @@ def assign(X: Array, centers: Array) -> tuple[Array, Array]:
 
 
 def _update_centers(X: Array, labels: Array, k: int) -> tuple[Array, Array]:
-    """Mean of assigned points per center (segment-sum). Returns (centers, counts)."""
-    onehot_sum = jax.ops.segment_sum(X, labels, num_segments=k)  # [k, d]
-    counts = jax.ops.segment_sum(jnp.ones_like(labels, jnp.float32), labels, k)
+    """Mean of assigned points per center. Returns (centers, counts).
+
+    The per-center sum is onehot(labels)^T @ X on the MXU — a scatter
+    (segment_sum) serializes on TPU and dominated paper-scale PQ training
+    (~300 s of the stage's 360 s at 8 x 100k x 100 Lloyd iterations).
+    """
+    oh = jax.nn.one_hot(labels, k, dtype=jnp.float32)  # [n, k], exact
+    onehot_sum = jnp.einsum(
+        "nk,nd->kd", oh, X, preferred_element_type=jnp.float32,
+        precision="highest",
+    )
+    counts = jnp.sum(oh, axis=0)
     safe = jnp.maximum(counts, 1.0)
     return onehot_sum / safe[:, None], counts
 
