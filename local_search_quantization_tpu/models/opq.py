@@ -49,10 +49,14 @@ def _update_centers_batched(Xs: Array, B: Array, h: int, prev: Array) -> Array:
     for non-empty clusters)."""
 
     def one(xs, labels, prev_c):
-        sums = jax.ops.segment_sum(xs, labels, num_segments=h)
-        counts = jax.ops.segment_sum(
-            jnp.ones_like(labels, jnp.float32), labels, num_segments=h
+        # onehot^T @ X on the MXU — segment_sum is a scatter, which
+        # serializes on TPU (see ops/kmeans._update_centers).
+        oh = jax.nn.one_hot(labels, h, dtype=jnp.float32)  # [n, h], exact
+        sums = jnp.einsum(
+            "nh,nd->hd", oh, xs, preferred_element_type=jnp.float32,
+            precision="highest",
         )
+        counts = jnp.sum(oh, axis=0)
         means = sums / jnp.maximum(counts, 1.0)[:, None]
         return jnp.where((counts > 0)[:, None], means, prev_c)
 

@@ -105,10 +105,13 @@ def _A_matvec(V: Array, B: Array) -> Array:
 
 
 def _At_matvec(U: Array, B: Array, h: int) -> Array:
-    """A^T @ U for U [n, d] -> [m, h, d]: per-codebook segment sums."""
-    return jax.vmap(
-        lambda bi: jax.ops.segment_sum(U, bi, num_segments=h), in_axes=1
-    )(B)
+    """A^T @ U for U [n, d] -> [m, h, d]: per-codebook one-hot matmuls
+    (segment_sum is a scatter, which serializes on TPU)."""
+    oh = jax.nn.one_hot(B, h, dtype=jnp.float32)  # [n, m, h], exact
+    return jnp.einsum(
+        "nmh,nd->mhd", oh, U, preferred_element_type=jnp.float32,
+        precision="highest",
+    )
 
 
 @partial(jax.jit, static_argnames=("h", "niter"))
