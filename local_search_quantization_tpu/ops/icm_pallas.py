@@ -791,10 +791,37 @@ def binaries_to_j_stacked(binaries_bf16):
     return (bint * mask).reshape(m, m * h, h)
 
 
+def fused_icm_sweeps(
+    B: Array,
+    unaries: Array,
+    binaries_bf16: Array,
+    order: Array,
+    *,
+    icmiter: int,
+    tile: int | None = None,
+    interpret: bool = False,
+    variant: str = "v2",
+) -> Array:
+    """Per-round ICM sweeps kernel (see _fused_icm_sweeps_jit). Thin
+    wrapper resolving LSQ_TPU_ICM_TILE outside jit so the knob is part of
+    the cache key (cf. fused_ils_encode)."""
+    m = B.shape[1]
+    if tile is None:
+        # Best measured config at m=7, h=256 (see benchmarks/): 768 rows
+        # with the unaries block single-buffered. m=8 needs the smaller
+        # tile to fit bint (8.4 MB) + oh (4 MB) + unaries in VMEM.
+        default = 768 if m <= 7 else 512
+        tile = int(os.environ.get("LSQ_TPU_ICM_TILE", str(default)))
+    return _fused_icm_sweeps_jit(
+        B, unaries, binaries_bf16, order, icmiter=icmiter, tile=tile,
+        interpret=interpret, variant=variant,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("icmiter", "tile", "interpret", "variant")
 )
-def fused_icm_sweeps(
+def _fused_icm_sweeps_jit(
     B: Array,
     unaries: Array,
     binaries_bf16: Array,
@@ -818,12 +845,6 @@ def fused_icm_sweeps(
     """
     n, m = B.shape
     unaries, binaries_bf16, h = _pad_h(unaries, binaries_bf16)
-    if tile is None:
-        # Best measured config at m=7, h=256 (see benchmarks/): 768 rows with
-        # the unaries block single-buffered. m=8 needs the smaller tile to
-        # fit bint (8.4 MB) + oh (4 MB) + unaries in VMEM.
-        default = 768 if m <= 7 else 512
-        tile = int(os.environ.get("LSQ_TPU_ICM_TILE", str(default)))
     pad = (-n) % tile
     if pad:
         B = jnp.concatenate([B, jnp.zeros((pad, m), B.dtype)])
