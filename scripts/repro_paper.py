@@ -32,13 +32,13 @@ import numpy as np
 
 def recall_at(gt: np.ndarray, ids: np.ndarray, ns=(1, 2, 5, 10, 20, 50, 100,
                                                    200, 500, 1000)) -> dict:
+    hit = ids == np.asarray(gt)[:, None]  # [nq, k]
+    any_hit = np.cumsum(hit, axis=1) > 0  # hit within the first n columns
     out = {}
     for n in ns:
         if n > ids.shape[1]:
             break
-        out[f"r@{n}"] = float(
-            np.mean([gt[q] in set(ids[q, :n]) for q in range(len(gt))])
-        )
+        out[f"r@{n}"] = float(np.mean(any_hit[:, n - 1]))
     return out
 
 
