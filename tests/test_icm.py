@@ -109,6 +109,31 @@ def test_encode_chunked_matches_unchunked_shapes(rng):
     assert (res.cost <= cost0 + 1e-3).all()
 
 
+def test_encode_chunked_milestones_and_stats_stitching(rng):
+    """Milestones stitched across chunk boundaries (incl. the padded tail
+    chunk) keep the per-vector invariants: every milestone <= cost(B0),
+    non-increasing across milestones, final == last milestone; stats
+    weighting yields fractions in [0, 1]."""
+    n, d, m, h = 300, 8, 3, 8
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    C = (rng.normal(size=(m, h, d)) * 0.4).astype(np.float32)
+    B0 = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    cost0 = np.asarray(costs.veccost(jnp.asarray(X), jnp.asarray(B0), jnp.asarray(C)))
+    tr = icm.encode_chunked(
+        jax.random.PRNGKey(4), X, B0, jnp.asarray(C),
+        ilsiter=3, icmiter=2, npert=1, chunk=128,
+        milestones=(1, 3), with_stats=True,
+    )
+    msc = np.asarray(tr.milestone_cost)
+    assert msc.shape == (2, n)
+    assert (msc[0] <= cost0 + 1e-3).all()
+    assert (msc[1] <= msc[0]).all()
+    np.testing.assert_array_equal(np.asarray(tr.B), np.asarray(tr.milestone_B[1]))
+    for f in (tr.frac_better, tr.frac_equal):
+        f = np.asarray(f)
+        assert f.shape == (3,) and (f >= 0).all() and (f <= 1).all()
+
+
 def test_condition_matmul_matches_gather_exactly_on_small_ints(rng):
     """bf16 one-hot matmul conditioning == gather conditioning when all LUT
     values are small integers (exactly representable in bf16)."""
