@@ -108,14 +108,16 @@ def train_lsq(
         temp = max(0.0, 1.0 - it / config.niter)
         if config.sr_method == "SR-D" and temp > 0.0:
             key, knoise = jax.random.split(key)
-            std = jnp.sqrt(temp * obj / X.shape[1])
+            std = config.sr_scale * jnp.sqrt(temp * obj / X.shape[1])
             Xt = X + std * jax.random.normal(knoise, X.shape, X.dtype)
             C = update_codebooks(Xt, B, h, **solve_kwargs)
         else:
             C = update_codebooks(X, B, h, **solve_kwargs)
             if config.sr_method == "SR-C" and temp > 0.0:
                 key, knoise = jax.random.split(key)
-                std = jnp.sqrt(temp * obj / (X.shape[1] * config.m))
+                std = config.sr_scale * jnp.sqrt(
+                    temp * obj / (X.shape[1] * config.m)
+                )
                 C = C + std * jax.random.normal(knoise, C.shape, C.dtype)
         key, sub = jax.random.split(key)
         B, cost = encode(sub, B, C)

@@ -75,6 +75,7 @@ class LSQConfig:
     # residual-scaled noise annealed linearly to zero — escapes the local
     # minima plain LSQ's EM converges to. "none" = reference behavior.
     sr_method: str = "none"
+    sr_scale: float = 1.0  # multiplier on the SR noise std (tuning knob)
     seed: int = 0
 
     def __post_init__(self):
@@ -85,6 +86,8 @@ class LSQConfig:
             raise ValueError(
                 f"sr_method must be none/SR-D/SR-C, got {self.sr_method!r}"
             )
+        if not self.sr_scale > 0:
+            raise ValueError(f"sr_scale must be > 0, got {self.sr_scale}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--sr", default="none", choices=["none", "SR-D", "SR-C"],
                     help="LSQ stochastic relaxation (LSQ++, beyond the "
                          "reference)")
+    ap.add_argument("--sr-scale", type=float, default=1.0,
+                    help="multiplier on the SR noise std")
     ap.add_argument("--out", default="recall_table.json")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -150,7 +152,7 @@ def main():
         x_train, opq7.B, opq7.R, ChainQConfig(m=m_lsq, h=h, niter=args.niter)
     )
     lsq_cfg = LSQConfig(m=m_lsq, h=h, niter=args.niter, seed=args.seed,
-                        sr_method=args.sr)
+                        sr_method=args.sr, sr_scale=args.sr_scale)
     lsq = train_lsq(x_train, chain.B, chain.R, lsq_cfg, verbose=True)
     B0 = random_codes(args.seed, x_base.shape[0], m_lsq, h)
     enc = icm.encode_chunked(
