@@ -50,15 +50,20 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return nq / best
 
+    import os
+
+    variants = os.environ.get("LSQ_TPU_SELECT_VARIANTS", "sorted").split(",")
     nqts = [None] if nq <= 1024 else [None, nq]  # None = _pick_nqt (<=1024)
     for tb in tbs:
         for nqt in nqts:
-            cold = timeit(lambda lt: fused_scan_topk(
-                lt, B, dbn, k=k, tb=tb, nqt=nqt))
-            warm = timeit(lambda lt: scan_topk_warm(
-                lt, B, dbn, k=k, tb=tb, nqt=nqt))
-            print(f"k={k} nq={nq} tb={tb} nqt={nqt or 'auto'}: "
-                  f"cold {cold:8,.0f} qps | warm {warm:8,.0f} qps", flush=True)
+            for v in variants:
+                cold = timeit(lambda lt: fused_scan_topk(
+                    lt, B, dbn, k=k, tb=tb, nqt=nqt, variant=v))
+                warm = timeit(lambda lt: scan_topk_warm(
+                    lt, B, dbn, k=k, tb=tb, nqt=nqt, variant=v))
+                print(f"k={k} nq={nq} tb={tb} nqt={nqt or 'auto'} {v}: "
+                      f"cold {cold:8,.0f} qps | warm {warm:8,.0f} qps",
+                      flush=True)
 
 
 if __name__ == "__main__":

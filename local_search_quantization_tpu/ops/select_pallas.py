@@ -43,7 +43,8 @@ Array = jax.Array
 
 def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
                    out_d_ref, out_i_ref, dist_ref, *,
-                   m: int, h: int, k: int, cap: int, tb: int, nqt: int):
+                   m: int, h: int, k: int, cap: int, tb: int, nqt: int,
+                   unsorted: bool = False):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -82,10 +83,14 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
     lane_tb = jax.lax.broadcasted_iota(jnp.int32, (nqt, tb), dimension=1)
 
     def kth():
-        return jnp.minimum(
-            jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k)),
-            t0_ref[:, :],
-        )  # [nqt, 1]
+        if unsorted:
+            # Unsorted buffer: the max is the cap-th best (cap >= k) — a
+            # looser but still exact threshold; the final bitonic sort
+            # restores sorted-output semantics.
+            buf_kth = jnp.max(out_d_ref[:, :], axis=1, keepdims=True)
+        else:
+            buf_kth = jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k))
+        return jnp.minimum(buf_kth, t0_ref[:, :])  # [nqt, 1]
 
     def min_arg():
         dist = dist_ref[:, :]
@@ -101,23 +106,33 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
         # minima are >= the monotonically-tightening threshold).
         dist_ref[:, :] = jnp.where(lane_tb == idx, jnp.inf, dist_ref[:, :])
 
-        # Predicated sorted insert at pos = #(buffer < v); inactive rows
-        # get pos = cap, which leaves the buffer untouched (every lane is
-        # "below" the insert point).
-        buf_d, buf_i = out_d_ref[:, :], out_i_ref[:, :]
-        pos = jnp.sum((buf_d < vmin).astype(jnp.int32), axis=1, keepdims=True)
-        pos = jnp.where(act, pos, cap)
-        below = lane_cap < pos
-        at = lane_cap == pos
-        out_d_ref[:, :] = jnp.where(
-            below, buf_d,
-            jnp.where(at, vmin, pltpu.roll(buf_d, 1, axis=1)),
-        )
         gid = t * tb + idx
-        out_i_ref[:, :] = jnp.where(
-            below, buf_i,
-            jnp.where(at, gid, pltpu.roll(buf_i, 1, axis=1)),
-        )
+        buf_d, buf_i = out_d_ref[:, :], out_i_ref[:, :]
+        if unsorted:
+            # Replace-worst: overwrite the current max slot (argmax of an
+            # all-inf initial buffer walks the slots left to right).
+            wpos = jnp.argmax(buf_d, axis=1).astype(jnp.int32)[:, None]
+            mask = (lane_cap == wpos) & act
+            out_d_ref[:, :] = jnp.where(mask, vmin, buf_d)
+            out_i_ref[:, :] = jnp.where(mask, gid, buf_i)
+        else:
+            # Predicated sorted insert at pos = #(buffer < v); inactive
+            # rows get pos = cap, which leaves the buffer untouched
+            # (every lane is "below" the insert point).
+            pos = jnp.sum(
+                (buf_d < vmin).astype(jnp.int32), axis=1, keepdims=True
+            )
+            pos = jnp.where(act, pos, cap)
+            below = lane_cap < pos
+            at = lane_cap == pos
+            out_d_ref[:, :] = jnp.where(
+                below, buf_d,
+                jnp.where(at, vmin, pltpu.roll(buf_d, 1, axis=1)),
+            )
+            out_i_ref[:, :] = jnp.where(
+                below, buf_i,
+                jnp.where(at, gid, pltpu.roll(buf_i, 1, axis=1)),
+            )
 
         vmin2, idx2 = min_arg()
         cont = jnp.sum((vmin2 < kth()).astype(jnp.float32))
@@ -126,6 +141,59 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
     vmin0, idx0 = min_arg()
     cont0 = jnp.sum((vmin0 < kth()).astype(jnp.float32))
     jax.lax.while_loop(lambda c: c[2] > 0.0, body, (vmin0, idx0, cont0))
+
+    if unsorted:
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _final_sort():
+            sd, si = _bitonic_sort_pairs(out_d_ref[:, :], out_i_ref[:, :])
+            out_d_ref[:] = sd
+            out_i_ref[:] = si
+
+
+def _bitonic_sort_pairs(d: Array, i: Array) -> tuple[Array, Array]:
+    """Sort each row of d ascending, carrying ids along. Width must be a
+    power of two (the buffer cap is). Standard bitonic network on the lane
+    axis: partner exchange via two cyclic rolls selected by the lane's
+    distance bit; id selection uses the SAME comparison predicate as the
+    value (never result-equality — duplicate +inf padding would corrupt
+    ids). ~log^2(W)/2 stages of ~10 vector ops each (~0.8 ms at
+    [1024, 1024] on a v5e) — run ONCE at the end of an unsorted-buffer
+    scan, vs O(cap) work per insert for a sorted buffer."""
+    w = d.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
+    nbits = w.bit_length() - 1
+    for k in range(1, nbits + 1):
+        # Run length 2^k; ascending block iff (lane & 2^k) == 0 (for the
+        # final k that is everywhere true: one globally-ascending run).
+        asc = (lane & (1 << k)) == 0
+        for j in range(k - 1, -1, -1):
+            dist = 1 << j
+            low = (lane & dist) == 0
+            # pltpu.roll requires non-negative shifts: -dist == w - dist.
+            pd = jnp.where(low, pltpu.roll(d, w - dist, axis=1),
+                           pltpu.roll(d, dist, axis=1))
+            pi = jnp.where(low, pltpu.roll(i, w - dist, axis=1),
+                           pltpu.roll(i, dist, axis=1))
+            # Canonical (low, high) view of the pair so BOTH lanes compute
+            # the same comparison — ties then route the two ids to the two
+            # slots instead of duplicating one.
+            vlow = jnp.where(low, d, pd)
+            vhigh = jnp.where(low, pd, d)
+            ilow = jnp.where(low, i, pi)
+            ihigh = jnp.where(low, pi, i)
+            le = vlow <= vhigh
+            take_min = low == asc
+            d = jnp.where(
+                take_min,
+                jnp.where(le, vlow, vhigh),
+                jnp.where(le, vhigh, vlow),
+            )
+            i = jnp.where(
+                take_min,
+                jnp.where(le, ilow, ihigh),
+                jnp.where(le, ihigh, ilow),
+            )
+    return d, i
 
 
 def _split_hi_lo(x: Array) -> tuple[Array, Array]:
@@ -154,7 +222,7 @@ def _pick_nqt(nq: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tb", "nqt", "interpret")
+    jax.jit, static_argnames=("k", "tb", "nqt", "interpret", "variant")
 )
 def fused_scan_topk(
     luts: Array,
@@ -166,6 +234,7 @@ def fused_scan_topk(
     nqt: int | None = None,
     interpret: bool = False,
     t0: Array | None = None,
+    variant: str = "sorted",
 ):
     """Exact kNN over the full base in ONE kernel launch per query set.
 
@@ -178,6 +247,10 @@ def fused_scan_topk(
       t0: optional [nq, 1] float32 warm-start threshold (see
         scan_topk_warm): only elements with distance < t0 are collected.
         The result is certified exact iff dists[:, k-1] < t0.
+      variant: "sorted" keeps an insertion-sorted buffer (O(cap) vector
+        work per insert); "unsorted" keeps a replace-worst buffer (~5 ops
+        per insert, cap-th-best threshold) and bitonic-sorts once at the
+        end — output semantics are identical (sorted ascending).
 
     Per-shard use inside shard_map requires check_vma=False on the
     shard_map (parallel/query.py does this): pallas outputs carry no
@@ -229,7 +302,8 @@ def fused_scan_topk(
 
     grid = (nqp // nqt, npad // tb)
     kernel = functools.partial(
-        _select_kernel, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt
+        _select_kernel, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt,
+        unsorted=(variant == "unsorted"),
     )
     out_d, out_i = pl.pallas_call(
         kernel,
@@ -272,6 +346,7 @@ def scan_topk_warm(
     sample_rank: int | None = None,
     deferred: bool = False,
     min_k: int = 512,
+    variant: str = "sorted",
 ):
     """fused_scan_topk with a sampled warm-start threshold. Always exact.
 
@@ -299,7 +374,8 @@ def scan_topk_warm(
     # (measured at k=100, n=1M: warm 6.5k qps vs cold 10.1k).
     if k < min_k or k * sample_stride * 2 > n or n < min_n:
         d, i = fused_scan_topk(
-            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret
+            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
+            variant=variant,
         )
         return (d, i, None) if deferred else (d, i)
     if sample_rank is None:
@@ -308,11 +384,13 @@ def scan_topk_warm(
     Bs = B[::sample_stride]
     es = extra[::sample_stride]
     ds, _ = fused_scan_topk(
-        luts, Bs, es, k=sample_rank, tb=tb, nqt=nqt, interpret=interpret
+        luts, Bs, es, k=sample_rank, tb=tb, nqt=nqt, interpret=interpret,
+        variant=variant,
     )
     t0 = ds[:, sample_rank - 1 : sample_rank]
     d, i = fused_scan_topk(
-        luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret, t0=t0
+        luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret, t0=t0,
+        variant=variant,
     )
     bad = jnp.any(d[:, k - 1 :] >= t0)
     if deferred:
@@ -320,6 +398,7 @@ def scan_topk_warm(
     if bool(np.asarray(bad)):
         # t0 under-captured for >=1 query (expected ~never): exact cold run.
         return fused_scan_topk(
-            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret
+            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
+            variant=variant,
         )
     return d, i

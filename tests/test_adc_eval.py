@@ -186,6 +186,43 @@ def test_scan_topk_warm_start_exact_and_fallback(rng):
         assert bool(np.asarray(bad)) == expect_bad
 
 
+def test_select_kernel_unsorted_variant_matches_sorted(rng):
+    """The replace-worst + final-bitonic-sort variant must return exactly
+    the sorted variant's result (sorted ascending, same distances), with
+    and without warm start."""
+    from local_search_quantization_tpu.ops.select_pallas import (
+        fused_scan_topk,
+        scan_topk_warm,
+    )
+
+    n, nq, d, m, h, k = 8192, 7, 8, 3, 8, 33
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+    full = -2.0 * Q @ recon.T + dbn[None, :]
+    oracle = np.sort(full, axis=1)[:, :k]
+
+    d1, _ = fused_scan_topk(luts, jnp.asarray(B), jnp.asarray(dbn), k=k,
+                            tb=1024, interpret=True, variant="sorted")
+    d2, i2 = fused_scan_topk(luts, jnp.asarray(B), jnp.asarray(dbn), k=k,
+                             tb=1024, interpret=True, variant="unsorted")
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(d2), oracle, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.take_along_axis(full, np.asarray(i2), axis=1), np.asarray(d2),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    dw, _ = scan_topk_warm(
+        luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024, interpret=True,
+        sample_stride=4, min_n=0, min_k=0, variant="unsorted",
+    )
+    np.testing.assert_allclose(np.asarray(dw), oracle, rtol=1e-4, atol=1e-4)
+
+
 def test_linscan_base_segmentation_matches_whole(rng):
     """Host-side base segmentation (the >HBM streaming path) must return
     exactly the whole-base result, ids globally offset."""
