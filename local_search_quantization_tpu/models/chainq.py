@@ -16,7 +16,6 @@ import numpy as np
 
 from local_search_quantization_tpu.ops.costs import qerror, reconstruct
 from local_search_quantization_tpu.ops.solver import update_codebooks_chain
-from local_search_quantization_tpu.ops.subspaces import pq_full_codebooks
 from local_search_quantization_tpu.ops.viterbi import viterbi_encode
 from local_search_quantization_tpu.utils.config import ChainQConfig
 

@@ -384,18 +384,25 @@ def _run_scan(
             else jnp.zeros(Bj.shape[0], jnp.float32)
         )
         interp = jax.default_backend() != "tpu"
+        import os as _os
+        variant = _os.environ.get("LSQ_TPU_SELECT_VARIANT", "unsorted")
+        tb = 2048  # shared by warm scan and fallback: one compiled shape
         d, i, bad = scan_topk_warm(
-            luts, Bj, extra_arr, k=k, interpret=interp, deferred=True,
+            luts, Bj, extra_arr, k=k, tb=tb, interpret=interp,
+            deferred=True, variant=variant,
         )
         d_np, i_np = np.asarray(d), np.asarray(i)
         if bad is not None and bool(np.asarray(bad)):
             # Warm threshold under-captured (expected ~never, certificate
-            # failed): exact cold rerun.
+            # failed): exact cold rerun. Same tb/variant as the warm scan
+            # so this reuses the already-compiled executable instead of
+            # paying a fresh ~1-15 min remote compile on the rare path.
             from local_search_quantization_tpu.ops.select_pallas import (
                 fused_scan_topk,
             )
 
-            d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k, interpret=interp)
+            d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k, tb=tb,
+                                     interpret=interp, variant=variant)
             d_np, i_np = np.asarray(d2), np.asarray(i2)
         return KNNResult(d_np, i_np)
 

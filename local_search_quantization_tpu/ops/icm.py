@@ -30,7 +30,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from local_search_quantization_tpu.ops.costs import veccost
 from local_search_quantization_tpu.ops.luts import get_binaries, get_unaries
 
 Array = jax.Array
@@ -218,15 +217,22 @@ def ils_encode(
     condition_mode: str = "gather",
     milestones=None,
     with_stats: bool = False,
+    nvalid: Array | None = None,
 ) -> ILSResult | ILSTrace:
     """Encode X against codebooks C with `ilsiter` rounds of perturb+ICM.
 
     Thin non-jitted wrapper: normalizes `milestones` to a hashable tuple
     (jit static args reject lists) before entering the jitted body.
+
+    nvalid: optional TRACED row count; rows >= nvalid are treated as dead
+    padding (their xsq is floored to -1e30 so proposals can never accept)
+    and are excluded exactly from the with_stats fractions. Lets
+    encode_chunked pad its tail chunk to the compiled shape without
+    biasing the reference-parity "% better / % equal" stats.
     """
     return _ils_encode_jit(
-        key, X, B0, C, ilsiter=ilsiter, icmiter=icmiter, npert=npert,
-        randord=randord, condition_mode=condition_mode,
+        key, X, B0, C, nvalid, ilsiter=ilsiter, icmiter=icmiter,
+        npert=npert, randord=randord, condition_mode=condition_mode,
         milestones=tuple(milestones) if milestones else (),
         with_stats=with_stats,
     )
@@ -244,6 +250,7 @@ def _ils_encode_jit(
     X: Array,
     B0: Array,
     C: Array,
+    nvalid: Array | None = None,
     *,
     ilsiter: int,
     icmiter: int,
@@ -283,6 +290,16 @@ def _ils_encode_jit(
     unaries = get_unaries(X, C)  # [n, m, h]
     binaries = get_binaries(C)  # [m, m, h, h]
     xsq = jnp.sum(X * X, axis=-1)
+    n_rows = X.shape[0]
+    n_dead = None
+    if nvalid is not None:
+        # Dead-row floor (same trick the Pallas kernel uses for its tile
+        # padding): -1e30 + any real-scale term is -1e30 exactly in f32, so
+        # dead rows always propose cost == previous — never accepted, and
+        # deterministically counted as "equal" (subtracted below).
+        nvalid = jnp.asarray(nvalid, jnp.int32)
+        xsq = jnp.where(jnp.arange(n_rows) < nvalid, xsq, -1e30)
+        n_dead = (n_rows - nvalid).astype(jnp.float32)
     cost0 = cost_from_luts(xsq, unaries, binaries, B0)
 
     def finalize(B, ms_B, ms_cost_ignored, frac_better, frac_equal):
@@ -347,11 +364,17 @@ def _ils_encode_jit(
             interpret=jax.default_backend() != "tpu",
             milestones=milestones, with_stats=with_stats,
         )
-        n = X.shape[0]
         fb = fc = None
         if with_stats:
-            fb = stats[:, 0] / n
-            fc = stats[:, 1] / n
+            if n_dead is None:
+                fb = stats[:, 0] / n_rows
+                fc = stats[:, 1] / n_rows
+            else:
+                # Dead rows never improve and always count "equal":
+                # exact valid-rows-only fractions.
+                denom = jnp.maximum(nvalid.astype(jnp.float32), 1.0)
+                fb = stats[:, 0] / denom
+                fc = jnp.maximum(stats[:, 1] - n_dead, 0.0) / denom
         return finalize(B, ms_B, None, fb, fc)
 
     if condition_mode == "fused":
@@ -405,6 +428,12 @@ def _ils_encode_jit(
     (B, cost, ms_B, ms_cost), (fb, fc) = jax.lax.scan(
         ils_round, (B0, cost0, ms_B0, ms_c0), (rounds, keys)
     )
+    if with_stats and n_dead is not None:
+        # The scan's per-round stats are means over ALL rows; rescale to
+        # valid rows only (dead rows: deterministically not-better, equal).
+        denom = jnp.maximum(nvalid.astype(jnp.float32), 1.0)
+        fb = fb * n_rows / denom
+        fc = jnp.maximum(fc * n_rows - n_dead, 0.0) / denom
     if not milestones and not with_stats:
         return ILSResult(B, cost)
     return ILSTrace(
@@ -459,13 +488,17 @@ def encode_chunked(
     milestones = tuple(milestones) if milestones else ()
     n = X.shape[0]
     mode = resolve_condition_mode(condition_mode)
+    # The default encoder threads the chunk's valid-row count through so
+    # tail-pad rows are dead (exact stats); a custom encode_fn keeps the
+    # plain (key, X, B0) signature and sees the padded chunk as-is.
     fn = encode_fn or (
-        lambda k, x, b: ils_encode(
+        lambda k, x, b, nv=None: ils_encode(
             k, x, b, C, ilsiter=ilsiter, icmiter=icmiter, npert=npert,
             randord=randord, condition_mode=mode,
-            milestones=milestones, with_stats=with_stats,
+            milestones=milestones, with_stats=with_stats, nvalid=nv,
         )
     )
+    default_fn = encode_fn is None
     max_in_flight = 4
     pending = []  # (device result, valid rows, padded rows) per chunk
 
@@ -485,10 +518,11 @@ def encode_chunked(
                 out_msB[s].append(np.asarray(res.milestone_B[s])[:valid])
                 out_msc[s].append(np.asarray(res.milestone_cost[s])[:valid])
         if with_stats and res.frac_better is not None:
-            # Chunk fractions are over the chunk's (possibly pad-duplicated)
-            # rows in both modes; weighting by the padded size keeps the
-            # weighted mean exact over what was actually measured.
-            w = valid + pad
+            # Default-encoder chunks carry exact valid-rows-only fractions
+            # (nvalid dead-row accounting in ils_encode) — weight by valid.
+            # A custom encode_fn measured the padded chunk, so its
+            # fractions are over valid+pad rows and are weighted as such.
+            w = valid if default_fn else valid + pad
             fb = np.asarray(res.frac_better) * w
             fc = np.asarray(res.frac_equal) * w
             fb_acc = fb if fb_acc is None else fb_acc + fb
@@ -503,8 +537,12 @@ def encode_chunked(
             xs = np.concatenate([xs, np.broadcast_to(xs[-1:], (pad,) + xs.shape[1:])])
             bs = np.concatenate([bs, np.broadcast_to(bs[-1:], (pad,) + bs.shape[1:])])
         key, sub = jax.random.split(key)
-        pending.append((fn(sub, jnp.asarray(xs), jnp.asarray(bs)),
-                        stop - start, pad))
+        if default_fn:
+            res = fn(sub, jnp.asarray(xs), jnp.asarray(bs),
+                     jnp.int32(stop - start))
+        else:
+            res = fn(sub, jnp.asarray(xs), jnp.asarray(bs))
+        pending.append((res, stop - start, pad))
         if len(pending) >= max_in_flight:
             drain_one()
     while pending:

@@ -554,12 +554,17 @@ def ils_kernel_fits(m: int, h: int) -> bool:
 def _default_ils_tile(m: int, h: int) -> int:
     """Rows per grid step, from the VMEM budget (measured-calibrated).
 
-    Fixed residents: the j-stacked visit LUT (m*mh*h bf16) and the hi/lo
-    cost LUT pair (2*mh*mh bf16) — at m=7, h=512 these alone are 77 MB, so
-    the tile must shrink with m*h or the kernel OOMs VMEM (found live:
-    162 MB requested at tile=640, h=512, mostly register-allocator spills
-    of the [tile, mh] f32 cost temporaries). Per-row cost: unaries f32 +
-    one-hot state bf16 + ~6 live [*, mh] f32 temporaries in state_cost.
+    Fixed residents: the hi + lo j-stacked LUT pair (2x [m, m*h, h] bf16 =
+    4*m^2*h^2 bytes — ~51 MB at m=7, h=512; the lo stack doubles as the
+    visit LUT's residual, so there is no separate [mh, mh] cost LUT any
+    more). The tile must still shrink with m*h or the kernel OOMs VMEM —
+    the historical calibration point was 162 MB requested at tile=640,
+    h=512 under the OLD [mh, mh]-cost-LUT layout (77 MB fixed), mostly
+    register-allocator spills of the [tile, mh] f32 cost temporaries; the
+    68 B/row/mh-lane per-row figure below was measured there and still
+    tracks the current layout's compiler footprint. Per-row cost: unaries
+    f32 + one-hot state bf16 + ~6 live [*, mh] f32 temporaries in
+    state_cost.
     """
     mh = m * h
     fixed = 2 * m * mh * h * 2  # hi + lo j-stacked LUTs, bf16

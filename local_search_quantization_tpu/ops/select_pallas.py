@@ -21,7 +21,12 @@ selection entirely:
   with an exactness certificate (buffer slot k-1 filled => provably exact;
   the rare under-capture is detected and falls back to an exact cold run);
 - the sorted buffer doubles as the kernel output: results come back
-  already sorted ascending, ids exact.
+  already sorted ascending, ids exact;
+- variant="unsorted" replaces the insertion-sorted buffer with a
+  replace-worst buffer (~2x fewer vector passes per insert) and defers
+  sorting to ONE post-kernel XLA key-value sort over the raw [nq, cap]
+  buffers — the selection loop becomes cheaper, the sort cost is paid
+  once per query set instead of per insert.
 
 Grid is (query blocks, code tiles); the base codes stream through VMEM with
 automatic double buffering while the query block's LUTs and buffer stay
@@ -74,19 +79,21 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
     dist_ref[:] = dhi + dlo + extra_ref[0, :][None, :]
 
     # --- Extract every element beating the per-query threshold, which is
-    # min(k-th best so far, warm-start bound t0). The threshold only
-    # tightens, so killing an inactive query's tile-minimum is always safe
-    # (it is >= the threshold and can never be needed later). The loop
-    # carries the next (min, argmin) so no separate "pending" pass over
-    # the [nqt, tb] tile is ever made.
+    # min(buffer bound, warm-start bound t0), where the buffer bound is the
+    # k-th best so far (sorted variant) or the cap-th best (unsorted). The
+    # threshold only tightens, so killing an inactive query's tile-minimum
+    # is always safe (it is >= the threshold and can never be needed
+    # later). The loop carries the next (min, argmin) AND the current
+    # threshold, so neither a "pending" pass over the [nqt, tb] tile nor a
+    # repeated buffer reduction is ever made.
     lane_cap = jax.lax.broadcasted_iota(jnp.int32, (nqt, cap), dimension=1)
     lane_tb = jax.lax.broadcasted_iota(jnp.int32, (nqt, tb), dimension=1)
 
     def kth():
         if unsorted:
             # Unsorted buffer: the max is the cap-th best (cap >= k) — a
-            # looser but still exact threshold; the final bitonic sort
-            # restores sorted-output semantics.
+            # looser but still exact threshold; the caller's one XLA sort
+            # over [nq, cap] restores sorted-output semantics.
             buf_kth = jnp.max(out_d_ref[:, :], axis=1, keepdims=True)
         else:
             buf_kth = jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k))
@@ -99,8 +106,8 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
         return vmin, idx
 
     def body(carry):
-        vmin, idx, _ = carry
-        act = vmin < kth()  # [nqt, 1]
+        vmin, idx, thr, _ = carry
+        act = vmin < thr  # [nqt, 1]
 
         # Kill the extracted element (unconditionally: inactive queries'
         # minima are >= the monotonically-tightening threshold).
@@ -110,11 +117,19 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
         buf_d, buf_i = out_d_ref[:, :], out_i_ref[:, :]
         if unsorted:
             # Replace-worst: overwrite the current max slot (argmax of an
-            # all-inf initial buffer walks the slots left to right).
+            # all-inf initial buffer walks the slots left to right). ~4
+            # vector passes over the [nqt, cap] buffer per insert, vs the
+            # sorted variant's ~8 (the 80-min-compile in-kernel bitonic
+            # this replaced is documented in BASELINE.md; the sort now
+            # happens OUTSIDE the kernel, once per query set).
             wpos = jnp.argmax(buf_d, axis=1).astype(jnp.int32)[:, None]
             mask = (lane_cap == wpos) & act
-            out_d_ref[:, :] = jnp.where(mask, vmin, buf_d)
+            new_d = jnp.where(mask, vmin, buf_d)
+            out_d_ref[:, :] = new_d
             out_i_ref[:, :] = jnp.where(mask, gid, buf_i)
+            thr = jnp.minimum(
+                jnp.max(new_d, axis=1, keepdims=True), t0_ref[:, :]
+            )
         else:
             # Predicated sorted insert at pos = #(buffer < v); inactive
             # rows get pos = cap, which leaves the buffer untouched
@@ -125,75 +140,29 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
             pos = jnp.where(act, pos, cap)
             below = lane_cap < pos
             at = lane_cap == pos
-            out_d_ref[:, :] = jnp.where(
+            new_d = jnp.where(
                 below, buf_d,
                 jnp.where(at, vmin, pltpu.roll(buf_d, 1, axis=1)),
             )
+            out_d_ref[:, :] = new_d
             out_i_ref[:, :] = jnp.where(
                 below, buf_i,
                 jnp.where(at, gid, pltpu.roll(buf_i, 1, axis=1)),
             )
+            thr = jnp.minimum(
+                jax.lax.slice(new_d, (0, k - 1), (nqt, k)), t0_ref[:, :]
+            )
 
         vmin2, idx2 = min_arg()
-        cont = jnp.sum((vmin2 < kth()).astype(jnp.float32))
-        return vmin2, idx2, cont
+        cont = jnp.sum((vmin2 < thr).astype(jnp.float32))
+        return vmin2, idx2, thr, cont
 
     vmin0, idx0 = min_arg()
-    cont0 = jnp.sum((vmin0 < kth()).astype(jnp.float32))
-    jax.lax.while_loop(lambda c: c[2] > 0.0, body, (vmin0, idx0, cont0))
-
-    if unsorted:
-        @pl.when(t == pl.num_programs(1) - 1)
-        def _final_sort():
-            sd, si = _bitonic_sort_pairs(out_d_ref[:, :], out_i_ref[:, :])
-            out_d_ref[:] = sd
-            out_i_ref[:] = si
-
-
-def _bitonic_sort_pairs(d: Array, i: Array) -> tuple[Array, Array]:
-    """Sort each row of d ascending, carrying ids along. Width must be a
-    power of two (the buffer cap is). Standard bitonic network on the lane
-    axis: partner exchange via two cyclic rolls selected by the lane's
-    distance bit; id selection uses the SAME comparison predicate as the
-    value (never result-equality — duplicate +inf padding would corrupt
-    ids). ~log^2(W)/2 stages of ~10 vector ops each (~0.8 ms at
-    [1024, 1024] on a v5e) — run ONCE at the end of an unsorted-buffer
-    scan, vs O(cap) work per insert for a sorted buffer."""
-    w = d.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, dimension=1)
-    nbits = w.bit_length() - 1
-    for k in range(1, nbits + 1):
-        # Run length 2^k; ascending block iff (lane & 2^k) == 0 (for the
-        # final k that is everywhere true: one globally-ascending run).
-        asc = (lane & (1 << k)) == 0
-        for j in range(k - 1, -1, -1):
-            dist = 1 << j
-            low = (lane & dist) == 0
-            # pltpu.roll requires non-negative shifts: -dist == w - dist.
-            pd = jnp.where(low, pltpu.roll(d, w - dist, axis=1),
-                           pltpu.roll(d, dist, axis=1))
-            pi = jnp.where(low, pltpu.roll(i, w - dist, axis=1),
-                           pltpu.roll(i, dist, axis=1))
-            # Canonical (low, high) view of the pair so BOTH lanes compute
-            # the same comparison — ties then route the two ids to the two
-            # slots instead of duplicating one.
-            vlow = jnp.where(low, d, pd)
-            vhigh = jnp.where(low, pd, d)
-            ilow = jnp.where(low, i, pi)
-            ihigh = jnp.where(low, pi, i)
-            le = vlow <= vhigh
-            take_min = low == asc
-            d = jnp.where(
-                take_min,
-                jnp.where(le, vlow, vhigh),
-                jnp.where(le, vhigh, vlow),
-            )
-            i = jnp.where(
-                take_min,
-                jnp.where(le, ilow, ihigh),
-                jnp.where(le, ihigh, ilow),
-            )
-    return d, i
+    thr0 = kth()
+    cont0 = jnp.sum((vmin0 < thr0).astype(jnp.float32))
+    jax.lax.while_loop(
+        lambda c: c[3] > 0.0, body, (vmin0, idx0, thr0, cont0)
+    )
 
 
 def _split_hi_lo(x: Array) -> tuple[Array, Array]:
@@ -247,10 +216,12 @@ def fused_scan_topk(
       t0: optional [nq, 1] float32 warm-start threshold (see
         scan_topk_warm): only elements with distance < t0 are collected.
         The result is certified exact iff dists[:, k-1] < t0.
-      variant: "sorted" keeps an insertion-sorted buffer (O(cap) vector
-        work per insert); "unsorted" keeps a replace-worst buffer (~5 ops
-        per insert, cap-th-best threshold) and bitonic-sorts once at the
-        end — output semantics are identical (sorted ascending).
+      variant: "sorted" keeps an insertion-sorted buffer (~8 vector passes
+        over [nqt, cap] per insert); "unsorted" keeps a replace-worst
+        buffer (~4 passes per insert, cap-th-best threshold) and runs ONE
+        XLA key-value sort over the raw [nq, cap] buffers after the kernel
+        — output semantics are identical (sorted ascending; tied
+        distances may order ids differently).
 
     Per-shard use inside shard_map requires check_vma=False on the
     shard_map (parallel/query.py does this): pallas outputs carry no
@@ -269,15 +240,20 @@ def fused_scan_topk(
         hp = -(-h // 128) * 128
         luts = jnp.pad(luts, ((0, 0), (0, 0), (0, hp - h)))
         h = hp
-    if nqt is None:
+    auto_nqt = nqt is None
+    if auto_nqt:
         nqt = _pick_nqt(nq)
     cap = max(128, -(-k // 128) * 128)
     # VMEM guard (calibrated on a live OOM: nqt=2048 at m*h=2048, tb=2048,
     # cap=1024 compiles to ~115 MB): per-query-row cost = hi/lo LUTs +
     # dist scratch + d/i buffers + compiler slack; step the query block
     # down until the estimate fits the 127 MB scoped limit with headroom.
+    # Applied only to the auto-picked block size — an explicitly requested
+    # nqt (e.g. a tuning sweep) is honored as-is and left to the compiler's
+    # own VMEM check.
     per_row = m * h * 4 + tb * 4 + cap * 8 + 22 * 1024
-    while nqt > 128 and nqt * per_row + tb * m * h * 4 > 118 * 2**20:
+    while (auto_nqt and nqt > 128
+           and nqt * per_row + tb * m * h * 4 > 118 * 2**20):
         nqt //= 2
 
     pad_n = (-n) % tb
@@ -329,6 +305,13 @@ def fused_scan_topk(
         ),
         interpret=interpret,
     )(hi, lo, B, extra[None, :], t0)
+    if variant == "unsorted":
+        # One key-value sort over the cap-wide raw buffers for the WHOLE
+        # query set (never per tile): restores the sorted-ascending output
+        # contract at ~cap*log^2(cap) XLA sort cost amortized over the
+        # full scan. Sentinel rows (+inf, -1) sort to the tail and are
+        # sliced off with the padding.
+        out_d, out_i = jax.lax.sort((out_d, out_i), dimension=1, num_keys=1)
     return out_d[:nq, :k], out_i[:nq, :k]
 
 

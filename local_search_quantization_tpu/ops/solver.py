@@ -104,14 +104,34 @@ def _A_matvec(V: Array, B: Array) -> Array:
     return jnp.sum(gathered, axis=0)
 
 
-def _At_matvec(U: Array, B: Array, h: int) -> Array:
+def _At_matvec(U: Array, B: Array, h: int, *, chunk: int = 1 << 13) -> Array:
     """A^T @ U for U [n, d] -> [m, h, d]: per-codebook one-hot matmuls
-    (segment_sum is a scatter, which serializes on TPU)."""
-    oh = jax.nn.one_hot(B, h, dtype=jnp.float32)  # [n, m, h], exact
-    return jnp.einsum(
-        "nmh,nd->mhd", oh, U, preferred_element_type=jnp.float32,
-        precision="highest",
-    )
+    (segment_sum is a scatter, which serializes on TPU). Chunked over n
+    exactly like code_gram: the [chunk, m, h] one-hot transient stays
+    bounded (~57 MB at m=7, h=256) instead of materializing [n, m, h]
+    whole — which, rebuilt every LSQR iteration, cost ~7 GB per matvec at
+    n=1e6. fp32 summation order changes only across chunk boundaries
+    (accumulator adds), far below the solve's own round-off."""
+    n, m = B.shape
+    d = U.shape[1]
+    pad = (-n) % chunk
+    if pad:
+        # Out-of-range codes -> all-zero one-hot rows; zero U rows.
+        B = jnp.concatenate([B, jnp.full((pad, m), -1, B.dtype)])
+        U = jnp.concatenate([U, jnp.zeros((pad, d), U.dtype)])
+    Bc = B.reshape(-1, chunk, m)
+    Uc = U.reshape(-1, chunk, d)
+
+    def step(acc, inp):
+        bc, uc = inp
+        oh = jax.nn.one_hot(bc, h, dtype=jnp.float32)  # [chunk, m, h]
+        return acc + jnp.einsum(
+            "cmh,cd->mhd", oh, uc, preferred_element_type=jnp.float32,
+            precision="highest",
+        ), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((m, h, d), jnp.float32), (Bc, Uc))
+    return acc
 
 
 @partial(jax.jit, static_argnames=("h", "niter"))
@@ -188,6 +208,13 @@ def update_codebooks(
     niter: int = 32,
 ) -> Array:
     """Full (unstructured) codebook update. Returns C [m, h, d].
+
+    method: "cholesky" (default, normal equations + ridge) or "lsqr".
+    "lsmr" is accepted as an ALIAS of "lsqr" (the reference exposes both
+    IterativeSolvers backends, codebook_update.jl:17-21; on the
+    normal-equations-equivalent krylov space the two differ only in
+    stopping heuristics, which the batched solver replaces with a fixed
+    niter + sticky convergence freeze).
 
     (Reference driver: update_codebooks, codebook_update.jl:52-86.)
     """

@@ -15,10 +15,9 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from local_search_quantization_tpu.ops.costs import veccost
 from local_search_quantization_tpu.ops.icm import ILSResult, ils_encode
 from local_search_quantization_tpu.ops.solver import code_gram
 from local_search_quantization_tpu.parallel.mesh import DATA_AXIS

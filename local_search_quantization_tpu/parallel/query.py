@@ -146,17 +146,22 @@ def sharded_linscan_pq(
     es = shard_batch(mesh, jnp.asarray(extra))
     Cr = replicated(mesh, jnp.asarray(C_sub))
 
-    out_d, out_i = [], []
+    # Dispatch ALL chunks before fetching any (same queue-then-fetch
+    # pattern as ops/adc._run_scan): a host sync per chunk would serialize
+    # each shard scan against the ~35 ms dispatch+fetch RPC of a tunneled
+    # backend. Queued results are small ([query_chunk, k] x2 per chunk).
+    results, valid = [], []
     for start in range(0, Q.shape[0], query_chunk):
         qc = Q[start : start + query_chunk]
         npad = query_chunk - qc.shape[0]
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = pq_query_luts(replicated(mesh, jnp.asarray(qc)), Cr)
-        res = sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
-                                method=method)
-        out_d.append(np.asarray(res.dists)[: query_chunk - npad])
-        out_i.append(np.asarray(res.ids)[: query_chunk - npad])
+        results.append(sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
+                                         method=method))
+        valid.append(query_chunk - npad)
+    out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
+    out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
 
 
@@ -188,7 +193,8 @@ def sharded_linscan_lsq(
     es = shard_batch(mesh, jnp.asarray(extra))
     Cr = replicated(mesh, jnp.asarray(C))
 
-    out_d, out_i = [], []
+    # Queue-then-fetch, as in sharded_linscan_pq / ops/adc._run_scan.
+    results, valid = [], []
     Q = np.asarray(Q)
     for start in range(0, Q.shape[0], query_chunk):
         qc = Q[start : start + query_chunk]
@@ -196,8 +202,9 @@ def sharded_linscan_lsq(
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = lsq_query_luts(replicated(mesh, jnp.asarray(qc)), Cr)
-        res = sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
-                                method=method)
-        out_d.append(np.asarray(res.dists)[: query_chunk - npad])
-        out_i.append(np.asarray(res.ids)[: query_chunk - npad])
+        results.append(sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
+                                         method=method))
+        valid.append(query_chunk - npad)
+    out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
+    out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))

@@ -37,9 +37,12 @@ def test_pq_pipeline_recall(data):
     res = adc.linscan_pq(np.asarray(B_base), data.query, model.C_sub, k=100,
                          query_chunk=64, base_block=2048)
     rec = eval_recall(data.gt, res.ids, 100, verbose=False)
-    assert rec[0] > 0.02  # recall@1 (only ~20-bit codes on synthetic data)
-    assert rec[9] > 0.25  # recall@10
-    assert rec[99] > 0.9  # recall@100
+    # ~20-bit codes on the synthetic corpus; r@100 is capped near the 0.9
+    # planted-query fraction (fresh-sample queries are near-unfindable at
+    # this code budget), so the ceiling assertion sits below it.
+    assert rec[0] > 0.03  # recall@1
+    assert rec[9] > 0.3  # recall@10
+    assert rec[99] > 0.78  # recall@100
 
 
 def test_opq_pipeline_recall(data):
@@ -48,9 +51,9 @@ def test_opq_pipeline_recall(data):
     res = adc.linscan_opq(np.asarray(B_base), data.query, model.C_sub, model.R,
                           k=100, query_chunk=64, base_block=2048)
     rec = eval_recall(data.gt, res.ids, 100, verbose=False)
-    assert rec[0] > 0.02
-    assert rec[9] > 0.25
-    assert rec[99] > 0.9
+    assert rec[0] > 0.03
+    assert rec[9] > 0.3
+    assert rec[99] > 0.78  # see test_pq_pipeline_recall on the 0.9 cap
 
 
 def test_chainq_then_lsq_pipeline(data):
@@ -85,9 +88,9 @@ def test_chainq_then_lsq_pipeline(data):
     res = adc.linscan_lsq(enc.B, data.query, lsq.C, db_norms, k=100,
                           query_chunk=64, base_block=2048)
     rec = eval_recall(data.gt, res.ids, 100, verbose=False)
-    assert rec[0] > 0.02
-    assert rec[9] > 0.25
-    assert rec[99] > 0.85
+    assert rec[0] > 0.03
+    assert rec[9] > 0.3
+    assert rec[99] > 0.75  # see test_pq_pipeline_recall on the 0.9 cap
 
 
 def test_lsq_stochastic_relaxation_variants(data):

@@ -163,3 +163,41 @@ def test_update_codebooks_struct_generic(rng):
     r_full = np.linalg.norm(A @ Cfull.reshape(m * h, d) - X)
     r_u = np.linalg.norm(A @ Cu.reshape(m * h, d) - X)
     np.testing.assert_allclose(r_full, r_u, rtol=1e-3)
+
+
+def test_update_codebooks_struct_irregular_vs_lstsq(rng):
+    """Genuinely irregular coverage (overlapping 3-codebook spans, a
+    single-codebook dim, an all-codebooks dim — NOT expressible as the
+    chain pattern) against a per-dimension restricted lstsq oracle, the
+    reference's update_codebooks_generic semantics
+    (codebook_update.jl:119-158)."""
+    n, d, m, h = 400, 7, 4, 4
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+
+    dim2cb = np.zeros((d, m), bool)
+    dim2cb[0, [0, 1, 2]] = True   # 3-codebook overlap
+    dim2cb[1, [0, 1, 2]] = True   # same pattern, grouped with dim 0
+    dim2cb[2, [1, 2, 3]] = True   # different 3-codebook overlap
+    dim2cb[3, 3] = True           # single codebook
+    dim2cb[4, :] = True           # all codebooks
+    dim2cb[5, [0, 3]] = True      # non-adjacent pair
+    dim2cb[6, [0, 3]] = True
+    Cg = np.asarray(
+        solver.update_codebooks_struct(jnp.asarray(X), jnp.asarray(B), h, dim2cb)
+    )
+
+    A = dense_design(B, h)
+    for dim in range(d):
+        active = np.flatnonzero(dim2cb[dim])
+        cols = np.concatenate([np.arange(i * h, (i + 1) * h) for i in active])
+        K, *_ = np.linalg.lstsq(A[:, cols], X[:, dim], rcond=None)
+        r_opt = np.sum((A[:, cols] @ K - X[:, dim]) ** 2)
+        r_ours = np.sum((A @ Cg.reshape(m * h, d)[:, dim] - X[:, dim]) ** 2)
+        # Residual parity per dimension (solutions are non-unique; the
+        # ridge keeps ours within a hair of the exact minimum).
+        np.testing.assert_allclose(r_ours, r_opt, rtol=2e-3, atol=1e-4)
+        # Zero outside the covering set.
+        inactive = [i for i in range(m) if i not in active]
+        for i in inactive:
+            assert np.abs(Cg[i, :, dim]).max() < 1e-6
