@@ -385,7 +385,7 @@ def _run_scan(
         )
         interp = jax.default_backend() != "tpu"
         import os as _os
-        variant = _os.environ.get("LSQ_TPU_SELECT_VARIANT", "unsorted")
+        variant = _os.environ.get("LSQ_TPU_SELECT_VARIANT", "sorted")
         tb = 2048  # shared by warm scan and fallback: one compiled shape
         d, i, bad = scan_topk_warm(
             luts, Bj, extra_arr, k=k, tb=tb, interpret=interp,
@@ -393,16 +393,18 @@ def _run_scan(
         )
         d_np, i_np = np.asarray(d), np.asarray(i)
         if bad is not None and bool(np.asarray(bad)):
-            # Warm threshold under-captured (expected ~never, certificate
-            # failed): exact cold rerun. Same tb/variant as the warm scan
-            # so this reuses the already-compiled executable instead of
-            # paying a fresh ~1-15 min remote compile on the rare path.
+            # Certificate failed (expected ~never): exact cold rerun. Same
+            # tb as the warm scan (and the warm path's own exact-fallback
+            # variant) so this hits the already-compiled sample-scan
+            # executable family instead of paying a fresh ~1-15 min remote
+            # compile on the rare path.
             from local_search_quantization_tpu.ops.select_pallas import (
                 fused_scan_topk,
             )
 
+            fb_variant = "sorted" if variant == "key" else variant
             d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k, tb=tb,
-                                     interpret=interp, variant=variant)
+                                     interpret=interp, variant=fb_variant)
             d_np, i_np = np.asarray(d2), np.asarray(i2)
         return KNNResult(d_np, i_np)
 

@@ -25,8 +25,17 @@ selection entirely:
 - variant="unsorted" replaces the insertion-sorted buffer with a
   replace-worst buffer (~2x fewer vector passes per insert) and defers
   sorting to ONE post-kernel XLA key-value sort over the raw [nq, cap]
-  buffers — the selection loop becomes cheaper, the sort cost is paid
-  once per query set instead of per insert.
+  buffers;
+- variant="key" (warm-start only) is the fast path at large k: the scan
+  drops the lo matmul (half the MXU work), each distance is packed ONCE
+  into a monotone int32 key with the tile lane index in the low 13 bits
+  (min-reduce returns value AND argmin in one pass, sidestepping Mosaic's
+  f32-only argmin), and extraction APPENDS ids below the warm threshold
+  to a per-query cursor — no in-loop buffer maintenance at all. Exact f32
+  distances are recovered OUTSIDE the kernel by re-ranking the appended
+  ids against the full-precision LUTs; a certificate built from the
+  hi-matmul error bound (plus overflow detection) falls back to the
+  exact hi/lo path when the margin is too tight to prove exactness.
 
 Grid is (query blocks, code tiles); the base codes stream through VMEM with
 automatic double buffering while the query block's LUTs and buffer stay
@@ -44,6 +53,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+
+_MININT = -2147483648
+_MAXINT = 2147483647
+_LANE_BITS = 13  # low bits of the packed key carry the tile lane (tb<=8192)
 
 
 def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
@@ -117,11 +130,7 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
         buf_d, buf_i = out_d_ref[:, :], out_i_ref[:, :]
         if unsorted:
             # Replace-worst: overwrite the current max slot (argmax of an
-            # all-inf initial buffer walks the slots left to right). ~4
-            # vector passes over the [nqt, cap] buffer per insert, vs the
-            # sorted variant's ~8 (the 80-min-compile in-kernel bitonic
-            # this replaced is documented in BASELINE.md; the sort now
-            # happens OUTSIDE the kernel, once per query set).
+            # all-inf initial buffer walks the slots left to right).
             wpos = jnp.argmax(buf_d, axis=1).astype(jnp.int32)[:, None]
             mask = (lane_cap == wpos) & act
             new_d = jnp.where(mask, vmin, buf_d)
@@ -165,6 +174,90 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
     )
 
 
+def _f32_to_key(b):
+    """Signed-int32-monotone map of f32 bit patterns: x < y (as floats)
+    iff key(x) < key(y) (as SIGNED int32s). b: int32 bitcast of f32.
+    Standard trick: non-negative floats keep their bits; negative floats
+    map to MININT - bits (exact within the float range; -0.0 -> 0)."""
+    return jnp.where(b >= 0, b, _MININT - b)
+
+
+def _key_to_f32_bits(key):
+    """Inverse of _f32_to_key (the map is an involution on bit space)."""
+    return jnp.where(key >= 0, key, _MININT - key)
+
+
+def _select_kernel_key(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
+                       out_i_ref, out_cnt_ref, key_ref, *,
+                       m: int, h: int, cap: int, tb: int, nqt: int):
+    """Append-mode extraction on packed monotone keys (variant="key").
+
+    Every element with hi-matmul distance below the warm threshold t0 is
+    appended (id only) at the query's cursor. The packed key =
+    (monotone19(dist) & ~0x1FFF) | lane gives min-reduce-with-argmin in a
+    single i32 pass, and there is no buffer maintenance: no k-th slice,
+    no replace-worst scan, no threshold tightening. Exactness is settled
+    by the caller (re-rank + certificate)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_i_ref[:] = jnp.full((nqt, cap), -1, jnp.int32)
+        out_cnt_ref[:] = jnp.zeros((nqt, 1), jnp.int32)
+
+    # --- hi-only distances (half the MXU work of the hi/lo scan). ---
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, h), dimension=1)
+    oh = jnp.concatenate(
+        [
+            (codes_ref[:, i : i + 1] == col_ids).astype(jnp.bfloat16)
+            for i in range(m)
+        ],
+        axis=1,
+    )  # [tb, m*h]
+    dhi = jax.lax.dot_general(
+        lut_hi_ref[:, :], oh,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = dhi + extra_ref[0, :][None, :]
+    lane_tb = jax.lax.broadcasted_iota(jnp.int32, (nqt, tb), dimension=1)
+    b = jax.lax.bitcast_convert_type(acc, jnp.int32)
+    key_ref[:] = (_f32_to_key(b) & (-(1 << _LANE_BITS))) | lane_tb
+
+    t0b = jax.lax.bitcast_convert_type(t0_ref[:, :], jnp.int32)
+    t0k = _f32_to_key(t0b) & (-(1 << _LANE_BITS))  # [nqt, 1]
+
+    lane_cap = jax.lax.broadcasted_iota(jnp.int32, (nqt, cap), dimension=1)
+
+    def body(carry):
+        vkey, cnt, _ = carry
+        act = vkey < t0k  # [nqt, 1] i32 compare
+        idx = vkey & ((1 << _LANE_BITS) - 1)
+
+        # Kill the extracted lane; MAXINT is above every real key.
+        key_ref[:, :] = jnp.where(lane_tb == idx, _MAXINT, key_ref[:, :])
+
+        # Append the global id at the cursor (cursor >= cap drops the
+        # append; the caller detects overflow from the final count).
+        pos = jnp.where(act, cnt, cap)
+        out_i_ref[:, :] = jnp.where(
+            lane_cap == pos, t * tb + idx, out_i_ref[:, :]
+        )
+        cnt = cnt + act.astype(jnp.int32)
+
+        vkey2 = jnp.min(key_ref[:, :], axis=1, keepdims=True)
+        cont = jnp.sum((vkey2 < t0k).astype(jnp.float32))
+        return vkey2, cnt, cont
+
+    cnt0 = out_cnt_ref[:, :]
+    vkey0 = jnp.min(key_ref[:, :], axis=1, keepdims=True)
+    cont0 = jnp.sum((vkey0 < t0k).astype(jnp.float32))
+    vkey, cnt, _ = jax.lax.while_loop(
+        lambda c: c[2] > 0.0, body, (vkey0, cnt0, cont0)
+    )
+    out_cnt_ref[:, :] = cnt
+
+
 def _split_hi_lo(x: Array) -> tuple[Array, Array]:
     """f32 -> (bf16 hi, bf16 lo residual), hi + lo carrying ~16 mantissa
     bits. The barrier forces the hi rounding to MATERIALIZE: under
@@ -190,8 +283,31 @@ def _pick_nqt(nq: int) -> int:
     return nqt
 
 
+def _rerank_ids(luts_flat: Array, B: Array, extra: Array, ids: Array,
+                m: int, h: int):
+    """Exact f32 distances for candidate ids straight from the LUTs (the
+    tournament's O(1)-memory gather-recompute idiom, ops/adc.py); -1
+    sentinel ids come back +inf."""
+    nqp, cap = ids.shape
+    ids_c = jnp.maximum(ids, 0)
+    codes = jnp.take(
+        B.reshape(-1),
+        (ids_c[..., None] * m
+         + jnp.arange(m, dtype=jnp.int32)).reshape(nqp, -1),
+    ).reshape(nqp, cap, m)
+    gidx = jnp.arange(m, dtype=jnp.int32)[None, None, :] * h + codes
+    exact = jnp.sum(
+        jnp.take_along_axis(
+            luts_flat, gidx.reshape(nqp, cap * m), axis=1
+        ).reshape(nqp, cap, m),
+        axis=2,
+    ) + jnp.take(extra, ids_c)
+    return jnp.where(ids < 0, jnp.inf, exact)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "tb", "nqt", "interpret", "variant")
+    jax.jit,
+    static_argnames=("k", "tb", "nqt", "interpret", "variant", "append_cap"),
 )
 def fused_scan_topk(
     luts: Array,
@@ -204,6 +320,7 @@ def fused_scan_topk(
     interpret: bool = False,
     t0: Array | None = None,
     variant: str = "sorted",
+    append_cap: int | None = None,
 ):
     """Exact kNN over the full base in ONE kernel launch per query set.
 
@@ -216,19 +333,24 @@ def fused_scan_topk(
       t0: optional [nq, 1] float32 warm-start threshold (see
         scan_topk_warm): only elements with distance < t0 are collected.
         The result is certified exact iff dists[:, k-1] < t0.
-      variant: "sorted" keeps an insertion-sorted buffer (~8 vector passes
-        over [nqt, cap] per insert); "unsorted" keeps a replace-worst
-        buffer (~4 passes per insert, cap-th-best threshold) and runs ONE
-        XLA key-value sort over the raw [nq, cap] buffers after the kernel
-        — output semantics are identical (sorted ascending; tied
-        distances may order ids differently).
+      variant: "sorted" keeps an insertion-sorted buffer; "unsorted"
+        keeps a replace-worst buffer (~2x fewer buffer passes per insert)
+        and runs ONE XLA key-value sort after the kernel — both are
+        exact with identical output semantics (ties may order ids
+        differently). "key" REQUIRES a finite t0 (scan_topk_warm provides
+        it): hi-only scan + packed-monotone-key append extraction + exact
+        XLA re-rank, returning (dists, ids, bad) where `bad` flags the
+        certificate (hi-matmul error bound vs the k-th margin, and
+        append-buffer overflow) — the caller falls back to an exact
+        variant when set.
 
     Per-shard use inside shard_map requires check_vma=False on the
     shard_map (parallel/query.py does this): pallas outputs carry no
     varying-manual-axes type, and the kernel-internal iotas would clash
     with vma-typed operands under the interpret-mode trace.
 
-    Returns (dists [nq, k] f32, ids [nq, k] int32).
+    Returns (dists [nq, k] f32, ids [nq, k] int32); variant="key" returns
+    (dists, ids, bad) with `bad` a device-side scalar bool.
     """
     nq, m, h = luts.shape
     n = B.shape[0]
@@ -240,18 +362,32 @@ def fused_scan_topk(
         hp = -(-h // 128) * 128
         luts = jnp.pad(luts, ((0, 0), (0, 0), (0, hp - h)))
         h = hp
+    key_mode = variant == "key"
+    if key_mode:
+        assert t0 is not None, "variant='key' requires a warm threshold"
+        assert tb <= (1 << _LANE_BITS), (tb, 1 << _LANE_BITS)
     auto_nqt = nqt is None
     if auto_nqt:
         nqt = _pick_nqt(nq)
-    cap = max(128, -(-k // 128) * 128)
+    if key_mode:
+        # Append capacity: every element below t0 lands here. The warm
+        # caller sizes it from its sampling statistics (mean + 5 sd of
+        # the below-t0 count, see scan_topk_warm); overflow is
+        # certificate-detected, never assumed away.
+        cap = append_cap if append_cap is not None else (
+            -(-(k * 5 // 2) // 128) * 128
+        )
+    else:
+        cap = max(128, -(-k // 128) * 128)
     # VMEM guard (calibrated on a live OOM: nqt=2048 at m*h=2048, tb=2048,
     # cap=1024 compiles to ~115 MB): per-query-row cost = hi/lo LUTs +
-    # dist scratch + d/i buffers + compiler slack; step the query block
+    # dist/key scratch + buffers + compiler slack; step the query block
     # down until the estimate fits the 127 MB scoped limit with headroom.
     # Applied only to the auto-picked block size — an explicitly requested
     # nqt (e.g. a tuning sweep) is honored as-is and left to the compiler's
     # own VMEM check.
-    per_row = m * h * 4 + tb * 4 + cap * 8 + 22 * 1024
+    buf_bytes = cap * 4 if key_mode else cap * 8
+    per_row = m * h * 4 + tb * 4 + buf_bytes + 22 * 1024
     while (auto_nqt and nqt > 128
            and nqt * per_row + tb * m * h * 4 > 118 * 2**20):
         nqt //= 2
@@ -277,6 +413,63 @@ def fused_scan_topk(
     hi, lo = _split_hi_lo(flat)
 
     grid = (nqp // nqt, npad // tb)
+    common_in_specs = [
+        pl.BlockSpec((nqt, m * h), lambda q, t: (q, 0)),
+        pl.BlockSpec((nqt, m * h), lambda q, t: (q, 0)),
+        pl.BlockSpec((tb, m), lambda q, t: (t, 0)),
+        pl.BlockSpec((1, tb), lambda q, t: (0, t)),
+        pl.BlockSpec((nqt, 1), lambda q, t: (q, 0)),
+    ]
+    if key_mode:
+        kernel = functools.partial(
+            _select_kernel_key, m=m, h=h, cap=cap, tb=tb, nqt=nqt,
+        )
+        out_i, out_cnt = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=common_in_specs,
+            out_specs=[
+                pl.BlockSpec((nqt, cap), lambda q, t: (q, 0)),
+                pl.BlockSpec((nqt, 1), lambda q, t: (q, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nqp, cap), jnp.int32),
+                jax.ShapeDtypeStruct((nqp, 1), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((nqt, tb), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=127 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(hi, lo, B, extra[None, :], t0)
+        exact = _rerank_ids(flat, B, extra, out_i, m, h)
+        sd, si = jax.lax.sort((exact, out_i), dimension=1, num_keys=1)
+        sd, si = sd[:, :k], si[:, :k]
+        # --- Certificate. Every skipped element x satisfies
+        # packed_key(hi(x)) >= t0k, so hi(x) >= key_to_float(t0k -
+        # (2^13 - 1)) =: T_hi, so exact(x) >= T_hi - err, where err
+        # bounds |hi - exact| (per-query bf16 LUT rounding: half-ulp rel
+        # 2^-9 per entry, m entries summed; f32 accumulation slack folded
+        # in). If d_k < T_hi - err, no skipped element can displace any
+        # of the k reported (ties at d_k included: value-exact). Overflow
+        # of the append buffer voids the reasoning and also flags bad.
+        t0b = jax.lax.bitcast_convert_type(t0, jnp.int32)
+        # int32 wrap of the -8191 slack would need t0 ~ -3.4e38 (key near
+        # MININT) — not a representable ADC threshold; plain i32 is safe.
+        t0k_m = (
+            (_f32_to_key(t0b) & (-(1 << _LANE_BITS)))
+            - ((1 << _LANE_BITS) - 1)
+        )
+        T_hi = jax.lax.bitcast_convert_type(
+            _key_to_f32_bits(t0k_m), jnp.float32
+        )
+        err = (2.0 ** -9 + 2.0 ** -16) * jnp.sum(
+            jnp.max(jnp.abs(luts), axis=2), axis=1, keepdims=True
+        )
+        overflow = jnp.any(out_cnt >= cap)
+        bad = jnp.any(sd[:, k - 1 :] >= T_hi - err) | overflow
+        return sd[:nq], si[:nq], bad
+
     kernel = functools.partial(
         _select_kernel, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt,
         unsorted=(variant == "unsorted"),
@@ -284,13 +477,7 @@ def fused_scan_topk(
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((nqt, m * h), lambda q, t: (q, 0)),
-            pl.BlockSpec((nqt, m * h), lambda q, t: (q, 0)),
-            pl.BlockSpec((tb, m), lambda q, t: (t, 0)),
-            pl.BlockSpec((1, tb), lambda q, t: (0, t)),
-            pl.BlockSpec((nqt, 1), lambda q, t: (q, 0)),
-        ],
+        in_specs=common_in_specs,
         out_specs=[
             pl.BlockSpec((nqt, cap), lambda q, t: (q, 0)),
             pl.BlockSpec((nqt, cap), lambda q, t: (q, 0)),
@@ -338,10 +525,12 @@ def scan_topk_warm(
     k/stride + 6*sqrt(k/stride) (a >=6-sigma upper bound on the true k-th
     distance, so P[t0 < true kth] ~ 1e-8 per query). The main scan then
     inserts only elements < t0 — expected inserts drop from k*(1+ln(n/k))
-    (~8k at k=1000, n=1M) to ~1.3k. Exactness certificate: an element ever
+    (~8k at k=1000, n=1M) to ~1.8k. Exactness certificate: an element ever
     inserted is < t0, so slot k-1 being filled proves >= k elements beat
     t0 and the buffer holds the true sorted top-k; if ANY query's slot
     k-1 is >= t0 (under-capture), rerun everything without the bound.
+    variant="key" carries its own certificate (hi-matmul error bound +
+    overflow, see fused_scan_topk) which subsumes the under-capture check.
 
     This is the TPU answer to the C++ scanner's partial_sort design point
     (linscan_aqd.cpp:91): selection cost ~ k, not ~ k*ln(n/k).
@@ -352,13 +541,18 @@ def scan_topk_warm(
     rerun cold iff set, saving one ~35 ms host round-trip per query block.
     """
     n = B.shape[0]
+    key_mode = variant == "key"
+    # The key variant's fallback (and the small-k/small-n early path,
+    # where its re-rank overhead cannot pay off, and the t0-less cold
+    # path it cannot run at all) is the exact f32 "sorted" path.
+    exact_variant = "sorted" if key_mode else variant
     # Small k: the cold scan's insert count k*(1+ln(n/k)) is already cheap
     # and the sample pre-scan + certificate overhead outweighs the savings
     # (measured at k=100, n=1M: warm 6.5k qps vs cold 10.1k).
     if k < min_k or k * sample_stride * 2 > n or n < min_n:
         d, i = fused_scan_topk(
             luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
-            variant=variant,
+            variant=exact_variant,
         )
         return (d, i, None) if deferred else (d, i)
     if sample_rank is None:
@@ -368,20 +562,31 @@ def scan_topk_warm(
     es = extra[::sample_stride]
     ds, _ = fused_scan_topk(
         luts, Bs, es, k=sample_rank, tb=tb, nqt=nqt, interpret=interpret,
-        variant=variant,
+        variant=exact_variant,
     )
     t0 = ds[:, sample_rank - 1 : sample_rank]
-    d, i = fused_scan_topk(
-        luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret, t0=t0,
-        variant=variant,
-    )
-    bad = jnp.any(d[:, k - 1 :] >= t0)
+    if key_mode:
+        # Below-t0 count per query: mean ~ rank*stride, sd ~
+        # stride*sqrt(rank); mean + 5 sd covers the max over the block.
+        cap_hint = int(sample_rank * sample_stride
+                       + 5 * sample_stride * np.sqrt(sample_rank) + 64)
+        cap_hint = -(-cap_hint // 128) * 128
+        d, i, bad = fused_scan_topk(
+            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
+            t0=t0, variant="key", append_cap=cap_hint,
+        )
+    else:
+        d, i = fused_scan_topk(
+            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret, t0=t0,
+            variant=variant,
+        )
+        bad = jnp.any(d[:, k - 1 :] >= t0)
     if deferred:
         return d, i, bad
     if bool(np.asarray(bad)):
-        # t0 under-captured for >=1 query (expected ~never): exact cold run.
+        # Certificate failed (expected ~never): exact cold run.
         return fused_scan_topk(
             luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
-            variant=variant,
+            variant=exact_variant,
         )
     return d, i

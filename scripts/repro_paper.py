@@ -30,8 +30,12 @@ import time
 import numpy as np
 
 
-def recall_at(gt: np.ndarray, ids: np.ndarray, ns=(1, 2, 5, 10, 20, 50, 100,
-                                                   200, 500, 1000)) -> dict:
+def recall_at(gt: np.ndarray, ids: np.ndarray,
+              ns=(1, 2, 5, 10, 20, 50, 100, 200, 500, 1000, 2000, 5000,
+                  10000)) -> dict:
+    """Recall@N curve to the reference's full depth (r@10000 milestones,
+    Linscan.jl:104-109) — entries beyond ids.shape[1] are skipped, so the
+    curve depth follows --knn."""
     hit = ids == np.asarray(gt)[:, None]  # [nq, k]
     any_hit = np.cumsum(hit, axis=1) > 0  # hit within the first n columns
     out = {}

@@ -223,6 +223,69 @@ def test_select_kernel_unsorted_variant_matches_sorted(rng):
     np.testing.assert_allclose(np.asarray(dw), oracle, rtol=1e-4, atol=1e-4)
 
 
+def test_select_kernel_key_variant(rng):
+    """variant="key": hi-only scan + packed-monotone-key append extraction
+    + exact XLA re-rank. Contract: bad=False => value-exact sorted top-k;
+    an all-ties corpus must trip the certificate deterministically (the
+    strict threshold extracts nothing, so d_k stays +inf)."""
+    from local_search_quantization_tpu.ops.select_pallas import (
+        scan_topk_warm,
+    )
+
+    n, nq, d, m, h, k = 8192, 6, 8, 3, 8, 33
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+    full = -2.0 * Q @ recon.T + dbn[None, :]
+    oracle = np.sort(full, axis=1)[:, :k]
+
+    # Warm key path, deferred certificate.
+    dw, iw, badw = scan_topk_warm(
+        luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024,
+        interpret=True, sample_stride=4, min_n=0, min_k=0, variant="key",
+        deferred=True,
+    )
+    assert not bool(np.asarray(badw))
+    np.testing.assert_allclose(np.asarray(dw), oracle, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.take_along_axis(full, np.asarray(iw), axis=1), np.asarray(dw),
+        rtol=1e-4, atol=1e-4,
+    )
+    assert (np.diff(np.asarray(dw), axis=1) >= -1e-6).all()
+
+    # Non-deferred wrapper resolves the certificate itself (falls back to
+    # the exact path when needed) — result must be exact either way.
+    dw2, _ = scan_topk_warm(
+        luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024,
+        interpret=True, sample_stride=4, min_n=0, min_k=0, variant="key",
+    )
+    np.testing.assert_allclose(np.asarray(dw2), oracle, rtol=1e-4,
+                               atol=1e-4)
+
+    # All-ties corpus: every distance identical; the strict key threshold
+    # extracts nothing, the re-ranked k-th stays +inf, and the
+    # certificate MUST refuse (the non-deferred wrapper then falls back
+    # and still returns the exact — constant — distances).
+    C0 = np.zeros((m, h, d), np.float32)
+    luts0 = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C0))
+    dbn0 = np.full(n, 7.0, np.float32)
+    _, _, bad0 = scan_topk_warm(
+        luts0, jnp.asarray(B), jnp.asarray(dbn0), k=k, tb=1024,
+        interpret=True, sample_stride=4, min_n=0, min_k=0, variant="key",
+        deferred=True,
+    )
+    assert bool(np.asarray(bad0))
+    d0, _ = scan_topk_warm(
+        luts0, jnp.asarray(B), jnp.asarray(dbn0), k=k, tb=1024,
+        interpret=True, sample_stride=4, min_n=0, min_k=0, variant="key",
+    )
+    np.testing.assert_allclose(np.asarray(d0), np.full((nq, k), 7.0),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_linscan_base_segmentation_matches_whole(rng):
     """Host-side base segmentation (the >HBM streaming path) must return
     exactly the whole-base result, ids globally offset."""
