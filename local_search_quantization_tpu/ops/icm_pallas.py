@@ -335,19 +335,23 @@ def _ils_kernel(*refs, m: int, h: int, icmiter: int, rounds: int, npert: int,
 
 def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
                    npert: int, milestones: tuple = (),
-                   with_stats: bool = False):
-    """Software-pipelined whole-ILS kernel: the tile is split into two
-    independent row halves with SEPARATE one-hot state buffers, and their
-    visits are interleaved so half B's conditioning matmul (MXU) can
-    overlap half A's argmin + one-hot store (VPU). The plain kernel's
+                   with_stats: bool = False, parts: int = 2):
+    """Software-pipelined whole-ILS kernel: the tile is split into `parts`
+    independent row slices with SEPARATE one-hot state buffers, and their
+    visits are interleaved so slice p+1's conditioning matmul (MXU) can
+    overlap slice p's argmin + one-hot store (VPU). The plain kernel's
     matmul->argmin->store chain is fully serialized by the RAW dependency
     through the single one-hot buffer (~6-7 us/visit vs ~2-3 us of matmul);
     separate buffers break it. Separate scratch refs also avoid the Mosaic
     crash on mixed static-sublane + dynamic-lane stores that blocked the
     round-1 interleaving attempt (see the NOTE in _ils_kernel).
 
+    parts=2 is the r2 "pp" variant; parts=4 ("pp4", VERDICT r2 item 7)
+    keeps two visits in flight even when a slice's VPU tail outlasts one
+    matmul, at the cost of smaller (but still >=128-row) matmuls.
+
     Semantics identical to _ils_kernel (same visits, same accept rule; row
-    halves never interact — ILS is row-independent).
+    slices never interact — ILS is row-independent).
     """
     (visits_ref, u_ref, bint_ref, bint_lo_ref, xsq_ref, b_ref,
      pkeys_ref, pcodes_ref) = refs[:8]
@@ -361,13 +365,13 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
     if with_stats:
         stats_ref = refs[idx]
         idx += 1
-    oh_a, oh_b = refs[idx], refs[idx + 1]
+    oh_refs = refs[idx : idx + parts]
 
     tile = b_ref.shape[0]
-    half = tile // 2
+    half = tile // parts  # rows per slice
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (half, h), dimension=1)
     lane_m = jax.lax.broadcasted_iota(jnp.int32, (half, m), dimension=1)
-    halves = ((oh_a, 0), (oh_b, half))
+    halves = tuple((oh_refs[p], p * half) for p in range(parts))
 
     def set_oh(oh_ref, codes):
         for k in range(m):
@@ -396,8 +400,10 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
 
     for oh_ref, r0 in halves:
         set_oh(oh_ref, b_ref[r0 : r0 + half])
-    best0 = (b_ref[0:half], state_cost(oh_a, 0))
-    best1 = (b_ref[half:tile], state_cost(oh_b, half))
+    best = [
+        (b_ref[r0 : r0 + half], state_cost(oh_ref, r0))
+        for oh_ref, r0 in halves
+    ]
 
     def perturb(oh_ref, r0, r):
         keys = pkeys_ref[r, r0 : r0 + half]
@@ -416,38 +422,35 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
             keys = pick(p, keys)
 
     def one_round(r, carry):
-        codes0, cost0, codes1, cost1, stats_acc = carry
-        perturb(oh_a, 0, r)
-        perturb(oh_b, half, r)
+        parts_state = [
+            (carry[2 * p], carry[2 * p + 1]) for p in range(parts)
+        ]
+        stats_acc = carry[-1]
+        for oh_ref, r0 in halves:
+            perturb(oh_ref, r0, r)
 
         def visit(t, carry2):
             j = visits_ref[r * (icmiter * m) + t]
             w = bint_ref[pl.ds(j, 1)].reshape(m * h, h)
             off = pl.multiple_of(j * h, h)
-            # Order MM_A, VPU_A, MM_B, VPU_B: half B's matmul has no
-            # dependency on half A's argmin/store, so the MXU can run B
-            # while the VPU finishes A; next iteration's MM_A likewise
-            # overlaps VPU_B.
-            cond_a = jax.lax.dot_general(
-                oh_a[:, :], w,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_a = u_ref[0:half, pl.ds(j, 1), :].reshape(half, h) + cond_a
-            new_a = jnp.argmin(acc_a, axis=-1)
-            oh_a[:, pl.ds(off, h)] = (new_a[:, None] == col_ids).astype(
-                jnp.bfloat16
-            )
-            cond_b = jax.lax.dot_general(
-                oh_b[:, :], w,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_b = u_ref[half:tile, pl.ds(j, 1), :].reshape(half, h) + cond_b
-            new_b = jnp.argmin(acc_b, axis=-1)
-            oh_b[:, pl.ds(off, h)] = (new_b[:, None] == col_ids).astype(
-                jnp.bfloat16
-            )
+            # Order MM_0, VPU_0, MM_1, VPU_1, ...: slice p+1's matmul has
+            # no dependency on slice p's argmin/store, so the MXU can run
+            # p+1 while the VPU finishes p; the next iteration's MM_0
+            # likewise overlaps the last slice's VPU tail.
+            for oh_ref, r0 in halves:
+                cond = jax.lax.dot_general(
+                    oh_ref[:, :], w,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = (
+                    u_ref[r0 : r0 + half, pl.ds(j, 1), :].reshape(half, h)
+                    + cond
+                )
+                new = jnp.argmin(acc, axis=-1)
+                oh_ref[:, pl.ds(off, h)] = (
+                    new[:, None] == col_ids
+                ).astype(jnp.bfloat16)
             return carry2
 
         jax.lax.fori_loop(0, icmiter * m, visit, 0)
@@ -468,23 +471,31 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
                 oh_ref[:, k * h : (k + 1) * h] = jnp.where(bet, keep, restored)
             return best_codes, best_cost, better, equal
 
-        codes0, cost0, bet0, eq0 = accept(oh_a, 0, codes0, cost0)
-        codes1, cost1, bet1, eq1 = accept(oh_b, half, codes1, cost1)
+        new_state, bets, eqs = [], [], []
+        for p, (oh_ref, r0) in enumerate(halves):
+            cs, ks, bet, eq = accept(oh_ref, r0, *parts_state[p])
+            new_state.append((cs, ks))
+            bets.append(bet)
+            eqs.append(eq)
 
         if with_stats:
             cb = jnp.sum(
-                jnp.broadcast_to(bet0.astype(jnp.float32)[:, None], (half, 128))
-                + jnp.broadcast_to(
-                    bet1.astype(jnp.float32)[:, None], (half, 128)
+                sum(
+                    jnp.broadcast_to(
+                        b.astype(jnp.float32)[:, None], (half, 128)
+                    )
+                    for b in bets
                 ),
                 axis=0,
             )
             # count(proposal cost == previous), reference stat; padded rows
             # (xsq floor -1e30) always count — the wrapper subtracts them.
             cc = jnp.sum(
-                jnp.broadcast_to(eq0.astype(jnp.float32)[:, None], (half, 128))
-                + jnp.broadcast_to(
-                    eq1.astype(jnp.float32)[:, None], (half, 128)
+                sum(
+                    jnp.broadcast_to(
+                        e.astype(jnp.float32)[:, None], (half, 128)
+                    )
+                    for e in eqs
                 ),
                 axis=0,
             )
@@ -496,24 +507,30 @@ def _ils_kernel_pp(*refs, m: int, h: int, icmiter: int, rounds: int,
 
         for s, ms in enumerate(milestones):
             @pl.when(r == ms - 1)
-            def _write_ms(s=s, c0=codes0, c1=codes1, k0=cost0, k1=cost1):
-                out_ms_b_ref[s, 0:half] = c0
-                out_ms_b_ref[s, half:tile] = c1
-                out_ms_cost_ref[s, 0:half] = k0[:, None]
-                out_ms_cost_ref[s, half:tile] = k1[:, None]
+            def _write_ms(s=s, state=tuple(new_state)):
+                for p, (cs, ks) in enumerate(state):
+                    r0 = p * half
+                    out_ms_b_ref[s, r0 : r0 + half] = cs
+                    out_ms_cost_ref[s, r0 : r0 + half] = ks[:, None]
 
-        return codes0, cost0, codes1, cost1, stats_acc
+        out = []
+        for cs, ks in new_state:
+            out += [cs, ks]
+        return tuple(out) + (stats_acc,)
 
     stats0 = jnp.zeros((rounds, 128), jnp.float32)
-    codes0, cost0, codes1, cost1, stats_acc = jax.lax.fori_loop(
-        0, rounds, one_round, (best0[0], best0[1], best1[0], best1[1], stats0)
+    init = []
+    for cs, ks in best:
+        init += [cs, ks]
+    final = jax.lax.fori_loop(
+        0, rounds, one_round, tuple(init) + (stats0,)
     )
-    out_b_ref[0:half] = codes0
-    out_b_ref[half:tile] = codes1
-    out_cost_ref[0:half] = cost0[:, None]
-    out_cost_ref[half:tile] = cost1[:, None]
+    for p in range(parts):
+        r0 = p * half
+        out_b_ref[r0 : r0 + half] = final[2 * p]
+        out_cost_ref[r0 : r0 + half] = final[2 * p + 1][:, None]
     if with_stats:
-        stats_ref[0] = stats_acc
+        stats_ref[0] = final[-1]
 
 
 def _pad_h(unaries: Array, binaries_bf16: Array) -> tuple[Array, Array, int]:
@@ -614,8 +631,9 @@ def fused_ils_encode(
         tile = int(
             os.environ.get("LSQ_TPU_ILS_TILE", str(_default_ils_tile(m, hp)))
         )
-    if variant == "pp":
-        tile = max(16, tile - (tile % 2))
+    if variant in ("pp", "pp4"):
+        div = 2 if variant == "pp" else 4
+        tile = max(16, tile - (tile % div))
     return _fused_ils_encode_jit(
         key, orders, unaries, binaries, xsq, B,
         ilsiter=ilsiter, icmiter=icmiter, npert=npert, tile=tile,
@@ -732,11 +750,12 @@ def _fused_ils_encode_jit(
             jax.ShapeDtypeStruct((ngrid, ilsiter, 128), jnp.float32)
         )
 
-    if variant == "pp":
-        kernel_fn = _ils_kernel_pp
+    if variant in ("pp", "pp4"):
+        parts = 2 if variant == "pp" else 4
+        kernel_fn = functools.partial(_ils_kernel_pp, parts=parts)
         scratch = [
-            pltpu.VMEM((tile // 2, m * h), jnp.bfloat16),
-            pltpu.VMEM((tile // 2, m * h), jnp.bfloat16),
+            pltpu.VMEM((tile // parts, m * h), jnp.bfloat16)
+            for _ in range(parts)
         ]
     else:
         kernel_fn = _ils_kernel

@@ -258,7 +258,7 @@ def test_fused_ils_kernel_m8_both_variants(rng):
     xsq = jnp.sum(jnp.asarray(X) ** 2, axis=-1)
     cost0 = np.asarray(icm.cost_from_luts(xsq, unaries, binaries, jnp.asarray(B0)))
     orders = jnp.tile(jnp.arange(m, dtype=jnp.int32), (3, 1))
-    for variant in ("base", "pp"):
+    for variant in ("base", "pp", "pp4"):
         B, kcost, _, _, _ = fused_ils_encode(
             jax.random.PRNGKey(5), orders, unaries, binaries, xsq,
             jnp.asarray(B0), ilsiter=3, icmiter=2, npert=2,
