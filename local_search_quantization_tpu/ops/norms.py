@@ -10,9 +10,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from local_search_quantization_tpu.ops.costs import reconstruct
-from local_search_quantization_tpu.ops.kmeans import kmeans
 
 Array = jax.Array
 
@@ -23,14 +23,69 @@ def reconstruction_sqnorms(B: Array, C: Array) -> Array:
     return jnp.sum(CB * CB, axis=-1)
 
 
+def scalar_kmeans(vals: np.ndarray, h: int, iters: int = 200) -> np.ndarray:
+    """1-D Lloyd's in f64 on the host: [h] float64 centers, ascending.
+
+    A 256-entry scalar codebook is a one-shot training step, so it runs
+    in f64 numpy rather than through the batched TPU k-means: (a) squared
+    norms sit at ~1e5 for SIFT-scale data, and the general kernel's
+    expanded distance form (kmeans.py:29-36) squares them to ~6e10 where
+    one f32 ulp is ~4096 — bin-width-scale cancellation noise this path
+    avoids entirely; (b) it is deterministic (fixed seed, no device
+    reduction-order variance); (c) it costs no XLA compile (~minutes
+    through this backend's remote-compile hop) for a job that is ~6 s of
+    host work at n=1e6. Quantization quality equals the f32 kernel's on
+    well-scaled data (measured ~2e-3 relative mean error on lognormal
+    sqnorms — that error is intrinsic to 256 bins, see
+    scripts/diag_flip.py). O(n log n) sort once + O(n log h) per sweep.
+    """
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    # k-means++ (D^2 sampling) init in f64 — quantile init starves the
+    # heavy tail (the top 1/h quantile bin can span half the value range,
+    # and 1-D Lloyd migration is too local to ever split it: measured 12x
+    # worse max-error than D^2 seeding on lognormal sqnorms). Fixed seed:
+    # the trainer stays deterministic.
+    rng = np.random.default_rng(0)
+    c = np.empty(h)
+    c[0] = v[rng.integers(v.shape[0])]
+    mind = (v - c[0]) ** 2
+    for i in range(1, h):
+        tot = mind.sum()
+        if tot <= 0:
+            c[i:] = c[i - 1]
+            break
+        c[i] = v[np.searchsorted(np.cumsum(mind), rng.random() * tot)]
+        np.minimum(mind, (v - c[i]) ** 2, out=mind)
+    c = np.sort(c)
+    eps = max(1e-9, 1e-12 * abs(v[-1]))
+    for _ in range(iters):
+        mids = (c[1:] + c[:-1]) / 2.0
+        idx = np.searchsorted(mids, v)
+        sums = np.bincount(idx, weights=v, minlength=h)
+        cnts = np.bincount(idx, minlength=h)
+        newc = np.where(cnts > 0, sums / np.maximum(cnts, 1), c)
+        if np.max(np.abs(newc - c)) <= eps:
+            c = newc
+            break
+        c = newc
+    return c
+
+
 def train_norm_codebook(key: Array, B: Array, C: Array, h: int):
     """1-D k-means over reconstruction norms. Returns (cbnorms [h], codes [n]).
 
-    (Reference: kmeans(dbnorms, h) at LSQ.jl:80.)
+    (Reference: kmeans(dbnorms, h) at LSQ.jl:80 — Clustering.jl runs in
+    f64, which is why the reference never sees the f32 cancellation that
+    `scalar_kmeans` exists to avoid. `key` is kept for API stability; the
+    scalar trainer is deterministic.)
     """
-    sqnorms = reconstruction_sqnorms(B, C)
-    res = kmeans(key, sqnorms[:, None], h)
-    return res.centers[:, 0], res.assignments
+    del key
+    sqnorms = np.asarray(reconstruction_sqnorms(B, C))
+    centers = scalar_kmeans(sqnorms, h)
+    mids = (centers[1:] + centers[:-1]) / 2.0
+    codes = np.searchsorted(mids, sqnorms.astype(np.float64))
+    return (jnp.asarray(centers, jnp.float32),
+            jnp.asarray(codes, jnp.int32))
 
 
 @jax.jit

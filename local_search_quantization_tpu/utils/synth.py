@@ -78,6 +78,7 @@ def synthetic_dataset(
     noise: float = 1.0,
     query_alpha: float = 0.35,
     planted_frac: float = 0.9,
+    basis_mix: float = 0.0,
 ) -> SynthData:
     """SIFT-statistics corpus with exact ground truth.
 
@@ -91,6 +92,14 @@ def synthetic_dataset(
       planted_frac: fraction of queries generated as near-duplicates of a
         base vector (the TEXMEX matching-descriptor character); the rest
         are fresh corpus samples with no planted match.
+      basis_mix: how cluster-SPECIFIC the within-cluster principal
+        directions are, in [0, 1]. 0 = every cluster shares one global
+        direction bank V (a single OPQ rotation can then decorrelate all
+        clusters at once, which makes product quantizers anomalously
+        strong — v2 behavior). 1 = fully per-cluster random banks. Real
+        descriptor manifolds have locally varying principal directions,
+        which is precisely what gives additive (LSQ/AQ) codes their edge
+        over rotated product codes on SIFT1M.
     """
     rng = np.random.default_rng(seed)
     K = n_clusters or int(min(4096, max(64, n_base // 256)))
@@ -130,6 +139,18 @@ def synthetic_dataset(
     w *= (sigma / np.maximum(np.linalg.norm(w, axis=1), 1e-9))[:, None]
     iid = 0.06 * sigma / np.sqrt(d)  # [K] per-dim iid floor
 
+    # Per-cluster direction banks: V_k = cos(t)*V + sin(t)*E_k, rows
+    # renormalized ([K, L, d] f32, ~128 MB at the 1M-base cluster count).
+    Vk = None
+    if basis_mix > 0.0:
+        t = 0.5 * np.pi * float(basis_mix)
+        Ek = rng.normal(size=(K, L, d)) * env[None, None, :]
+        Ek /= np.maximum(np.linalg.norm(Ek, axis=2, keepdims=True), 1e-9)
+        Vk = np.cos(t) * V[None, :, :] + np.sin(t) * Ek
+        Vk /= np.maximum(np.linalg.norm(Vk, axis=2, keepdims=True), 1e-9)
+        Vk = Vk.astype(np.float32)
+        del Ek
+
     # --- Power-law cluster sizes (Zipf-ish, exponent 0.7).
     p = (np.arange(1, K + 1, dtype=np.float64)) ** -0.7
     p /= p.sum()
@@ -137,7 +158,21 @@ def synthetic_dataset(
     def offsets(cids, scale=1.0, rng=rng):
         n = cids.shape[0]
         z = rng.normal(size=(n, L))
-        off = (z * w[cids]) @ V
+        if Vk is None:
+            off = (z * w[cids]) @ V
+        else:
+            # Group rows by cluster: one [n_k, L] @ [L, d] GEMM per
+            # cluster (a per-row einsum against Vk[cids] would build an
+            # [n, L, d] transient — 32 GB at 1M rows).
+            zw = z * w[cids]
+            off = np.empty((n, d))
+            order = np.argsort(cids, kind="stable")
+            sc = cids[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            bounds = np.r_[starts, n]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                idx = order[a:b]
+                off[idx] = zw[idx] @ Vk[sc[a]]
         off += rng.normal(size=(n, d)) * iid[cids, None]
         return off * scale
 
