@@ -33,7 +33,8 @@ def main():
     tbs = [int(x) for x in sys.argv[3:]] or [1024, 2048]
     rng = np.random.default_rng(0)
     C = (rng.normal(size=(m, h, d)) * 36.0).astype(np.float32)
-    B = jnp.asarray(rng.integers(0, h, size=(n, m)).astype(np.int32))
+    Bt = jnp.asarray(np.ascontiguousarray(
+        rng.integers(0, h, size=(n, m)).astype(np.int32).T))
     Q = rng.integers(0, 256, size=(nq, d)).astype(np.float32)
     dbn = jnp.asarray((rng.normal(size=n) ** 2 * 1e5).astype(np.float32))
     luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
@@ -58,9 +59,9 @@ def main():
         for nqt in nqts:
             for v in variants:
                 cold = timeit(lambda lt: fused_scan_topk(
-                    lt, B, dbn, k=k, tb=tb, nqt=nqt, variant=v))
+                    lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v))
                 warm = timeit(lambda lt: scan_topk_warm(
-                    lt, B, dbn, k=k, tb=tb, nqt=nqt, variant=v))
+                    lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v))
                 print(f"k={k} nq={nq} tb={tb} nqt={nqt or 'auto'} {v}: "
                       f"cold {cold:8,.0f} qps | warm {warm:8,.0f} qps",
                       flush=True)

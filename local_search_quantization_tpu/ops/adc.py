@@ -62,40 +62,45 @@ def lsq_query_luts(Q: Array, C: Array) -> Array:
 
 def lut_scan_block(
     luts: Array,
-    B_block: Array,
+    Bt_block: Array,
     extra: Array | None = None,
     pvary_axis: str | None = None,
     mode: str = "matmul",
 ) -> Array:
-    """Sum LUT entries for one base block: [nq, m, h] x [nb, m] -> [nq, nb].
+    """Sum LUT entries for one base block: [nq, m, h] x [m, nb] -> [nq, nb].
 
-    mode="matmul" (default): dist = flat_lut . onehot(flat_codes) — ONE
-    [nq, m*h] x [m*h, nb] contraction on the MXU at 3-pass bf16 precision
-    (rel ~1e-6, far below ADC quantization error). mode="gather": per-
-    codebook column gathers (the literal transcription of the C++ scanner's
-    lookup loop, linscan_aqd.cpp:82-89) — VPU/HBM-bound, kept as oracle.
+    Bt_block is the TRANSPOSED [m, nb] code layout used device-side
+    throughout the query path: an [nb, m] int32 array is lane-padded
+    m -> 128 by the TPU tiled layout (an 18x HBM capacity/bandwidth tax
+    that OOMs 64M-row segments); [m, nb] pads only the m sublanes.
+
+    mode="matmul" (default): dist = flat_lut . onehot(codes) — ONE
+    [nq, m*h] x [m*h, nb]-equivalent contraction on the MXU at 3-pass bf16
+    precision (rel ~1e-6, far below ADC quantization error). mode="gather":
+    per-codebook column gathers (the literal transcription of the C++
+    scanner's lookup loop, linscan_aqd.cpp:82-89) — VPU/HBM-bound, kept as
+    oracle.
 
     extra: optional [nb] additive term (quantized database norms for the
     additive-code scanner).
     """
     nq = luts.shape[0]
-    m = B_block.shape[1]
-    nb = B_block.shape[0]
+    m, nb = Bt_block.shape
 
     if mode == "matmul":
         h = luts.shape[2]
-        onehot = jax.nn.one_hot(B_block, h, dtype=jnp.float32)  # [nb, m, h]
-        acc = jax.lax.dot_general(
-            luts.reshape(nq, m * h),
-            onehot.reshape(nb, m * h),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+        onehot = jax.nn.one_hot(Bt_block, h, dtype=jnp.float32)  # [m, nb, h]
+        acc = jnp.einsum(
+            "qmh,mbh->qb",
+            luts,
+            onehot,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGH,
         )
     else:
         def body(i, acc):
             # luts[:, i, :] is [nq, h]; gather columns by codebook i's codes.
-            return acc + jnp.take(luts[:, i, :], B_block[:, i], axis=1)
+            return acc + jnp.take(luts[:, i, :], Bt_block[i, :], axis=1)
 
         acc0 = jnp.zeros((nq, nb), jnp.float32)
         if pvary_axis is not None:
@@ -110,7 +115,7 @@ def lut_scan_block(
          static_argnames=("k", "block", "pvary_axis", "mode", "topk_method"))
 def _scan_topk(
     luts: Array,
-    B: Array,
+    Bt: Array,
     extra: Array | None,
     k: int,
     block: int,
@@ -120,7 +125,8 @@ def _scan_topk(
 ) -> KNNResult:
     """Streaming top-k ADC scan of the full base set for one query chunk.
 
-    `lax.scan` over base blocks; each step computes the [nq, block] distance
+    Bt: [m, n] transposed device codes (see lut_scan_block). `lax.scan`
+    over base blocks; each step computes the [nq, block] distance
     tile and merges it into the running top-k (negated so lax.top_k's
     "largest" semantics give smallest distances).
 
@@ -136,21 +142,18 @@ def _scan_topk(
             float(topk_method.split(":", 1)[1]) if ":" in topk_method else 0.95
         )
     nq = luts.shape[0]
-    n = B.shape[0]
+    m, n = Bt.shape
     nblocks = n // block
-    Bb = B.reshape(nblocks, block, B.shape[1])
-    extrab = (
-        extra.reshape(nblocks, block)
-        if extra is not None
-        else jnp.zeros((nblocks, 0), jnp.float32)
-    )
 
-    def step(carry, inp):
+    def step(carry, bi):
         best_nd, best_id = carry  # [nq, k] negated dists, ids
-        bi, (Bblk, eblk) = inp
+        Bblk = jax.lax.dynamic_slice(Bt, (0, bi * block), (m, block))
+        eblk = (
+            jax.lax.dynamic_slice(extra, (bi * block,), (block,))
+            if extra is not None else None
+        )
         tile = lut_scan_block(
-            luts, Bblk, eblk if extra is not None else None,
-            pvary_axis=pvary_axis, mode=mode,
+            luts, Bblk, eblk, pvary_axis=pvary_axis, mode=mode,
         )
         ids = bi * block + jnp.arange(block, dtype=jnp.int32)[None, :]
         if recall_target is not None:
@@ -177,7 +180,7 @@ def _scan_topk(
         # marked device-varying to match the per-shard outputs.
         init = jax.lax.pcast(init, pvary_axis, to="varying")
     idxs = jnp.arange(nblocks, dtype=jnp.int32)
-    (nd, ids), _ = jax.lax.scan(step, init, (idxs, (Bb, extrab)))
+    (nd, ids), _ = jax.lax.scan(step, init, idxs)
     return KNNResult(-nd, ids)
 
 
@@ -194,7 +197,7 @@ def _pick_group(n: int, k: int) -> int:
          static_argnames=("k", "block", "mode", "group", "store_dists"))
 def _scan_topk_tournament(
     luts: Array,
-    B: Array,
+    Bt: Array,
     extra: Array | None,
     k: int,
     block: int,
@@ -222,30 +225,26 @@ def _scan_topk_tournament(
     linscan_aqd.cpp:52-53,91.)
     """
     nq = luts.shape[0]
-    n = B.shape[0]
-    m = B.shape[1]
+    m, n = Bt.shape
     h = luts.shape[2]
     if group is None:
         group = _pick_group(n, k)
     group = min(group, block)
     nblocks = n // block
-    Bb = B.reshape(nblocks, block, m)
-    extrab = (
-        extra.reshape(nblocks, block)
-        if extra is not None
-        else jnp.zeros((nblocks, 0), jnp.float32)
-    )
 
-    def step(carry, inp):
-        Bblk, eblk = inp
-        tile = lut_scan_block(
-            luts, Bblk, eblk if extra is not None else None, mode=mode
+    def step(carry, bi):
+        Bblk = jax.lax.dynamic_slice(Bt, (0, bi * block), (m, block))
+        eblk = (
+            jax.lax.dynamic_slice(extra, (bi * block,), (block,))
+            if extra is not None else None
         )
+        tile = lut_scan_block(luts, Bblk, eblk, mode=mode)
         gmin = jnp.min(tile.reshape(nq, block // group, group), axis=-1)
         out = tile if store_dists else jnp.zeros((nq, 0), jnp.float32)
         return carry, (out, gmin)
 
-    _, (tiles, gmins) = jax.lax.scan(step, 0, (Bb, extrab))
+    idxs = jnp.arange(nblocks, dtype=jnp.int32)
+    _, (tiles, gmins) = jax.lax.scan(step, 0, idxs)
     gmins = jnp.moveaxis(gmins, 1, 0).reshape(nq, n // group)
 
     kg = min(k, n // group)
@@ -267,14 +266,14 @@ def _scan_topk_tournament(
     else:
         # Keep every intermediate [nq, m, C] with the LARGE candidate axis
         # minor: any [*, m]-minor tensor is lane-padded m -> 128 by XLA
-        # (observed 18x HBM expansion = OOM at n=1M, nq=256). Codes come
-        # from the flat [n*m] view for the same reason.
+        # (observed 18x HBM expansion = OOM at n=1M, nq=256). The flat view
+        # of the transposed codes puts codebook i of point p at i*n + p.
         C_ = kg * group
         marange = jnp.arange(m, dtype=jnp.int32)
         flat_idx = (
-            cand_idx[:, None, :] * m + marange[None, :, None]
+            cand_idx[:, None, :] + n * marange[None, :, None]
         )  # [nq, m, C]
-        codes = jnp.take(B.reshape(-1), flat_idx.reshape(-1)).reshape(
+        codes = jnp.take(Bt.reshape(-1), flat_idx.reshape(-1)).reshape(
             nq, m, C_
         )
         lut_flat = luts.reshape(nq, m * h)
@@ -366,7 +365,10 @@ def _run_scan(
         extra_p = np.concatenate(
             [np.zeros(n, np.float32), np.full(pad, np.inf, np.float32)]
         )
-    Bj = jnp.asarray(B)
+    # Device codes are TRANSPOSED [m, n]: the natural [n, m] layout is
+    # lane-padded m -> 128 on TPU HBM (s32[64M, 7] allocates 34 GB), an
+    # 18x capacity tax; [m, n] pads only the sublanes (7 -> 8).
+    Bj = jnp.asarray(np.ascontiguousarray(B.T))
     extraj = jnp.asarray(extra_p) if extra_p is not None else None
 
     if topk_method == "kernel":
@@ -381,7 +383,7 @@ def _run_scan(
         luts = luts_fn(jnp.asarray(Q))
         extra_arr = (
             extraj if extraj is not None
-            else jnp.zeros(Bj.shape[0], jnp.float32)
+            else jnp.zeros(Bj.shape[1], jnp.float32)
         )
         interp = jax.default_backend() != "tpu"
         import os as _os
@@ -418,12 +420,12 @@ def _run_scan(
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(jnp.asarray(qc))
-        if topk_method in ("tournament", "twopass") and 4 * k < Bj.shape[0]:
+        if topk_method in ("tournament", "twopass") and 4 * k < Bj.shape[1]:
             # Stash-the-tiles mode only while the [nq, n] f32 buffer and its
             # int32 flat indexing stay comfortable; stream + recompute
             # (O(1) extra memory) beyond — SIFT1B-scale safe.
             import os as _os
-            store = (query_chunk * Bj.shape[0] <= (1 << 28)
+            store = (query_chunk * Bj.shape[1] <= (1 << 28)
                      and _os.environ.get('LSQ_TPU_TOPK_STORE', '1') == '1')
             res = _scan_topk_tournament(
                 luts, Bj, extraj, k, base_block, mode=mode, store_dists=store

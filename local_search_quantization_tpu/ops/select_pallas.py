@@ -59,6 +59,24 @@ _MAXINT = 2147483647
 _LANE_BITS = 13  # low bits of the packed key carry the tile lane (tb<=8192)
 
 
+def _onehot_tile(codes_ref, m: int, h: int, tb: int):
+    """[m*h, tb] bf16 one-hot of a transposed code tile (codes_ref [m, tb]).
+
+    Codes live device-side in the [m, n] transposed layout: an [n, m] int32
+    array would be lane-padded m -> 128 by the TPU tiled layout (observed
+    live: an s32[64M, 7] segment allocating 34 GB), an 18x HBM capacity and
+    bandwidth tax; [m, n] pads only 7 -> 8 sublanes. Bonus: building the
+    one-hot row-blocked needs no in-kernel transposes at all."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, tb), dimension=0)
+    return jnp.concatenate(
+        [
+            (codes_ref[i : i + 1, :] == row_ids).astype(jnp.bfloat16)
+            for i in range(m)
+        ],
+        axis=0,
+    )
+
+
 def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
                    out_d_ref, out_i_ref, dist_ref, *,
                    m: int, h: int, k: int, cap: int, tb: int, nqt: int,
@@ -71,22 +89,15 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
         out_i_ref[:] = jnp.full((nqt, cap), -1, jnp.int32)
 
     # --- Distances for this tile: 2 bf16 matmuls (hi/lo split LUTs). ---
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, h), dimension=1)
-    oh = jnp.concatenate(
-        [
-            (codes_ref[:, i : i + 1] == col_ids).astype(jnp.bfloat16)
-            for i in range(m)
-        ],
-        axis=1,
-    )  # [tb, m*h]
+    oh = _onehot_tile(codes_ref, m, h, tb)  # [m*h, tb]
     dhi = jax.lax.dot_general(
         lut_hi_ref[:, :], oh,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dlo = jax.lax.dot_general(
         lut_lo_ref[:, :], oh,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dist_ref[:] = dhi + dlo + extra_ref[0, :][None, :]
@@ -206,17 +217,10 @@ def _select_kernel_key(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
         out_cnt_ref[:] = jnp.zeros((nqt, 1), jnp.int32)
 
     # --- hi-only distances (half the MXU work of the hi/lo scan). ---
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, h), dimension=1)
-    oh = jnp.concatenate(
-        [
-            (codes_ref[:, i : i + 1] == col_ids).astype(jnp.bfloat16)
-            for i in range(m)
-        ],
-        axis=1,
-    )  # [tb, m*h]
+    oh = _onehot_tile(codes_ref, m, h, tb)  # [m*h, tb]
     dhi = jax.lax.dot_general(
         lut_hi_ref[:, :], oh,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc = dhi + extra_ref[0, :][None, :]
@@ -283,17 +287,19 @@ def _pick_nqt(nq: int) -> int:
     return nqt
 
 
-def _rerank_ids(luts_flat: Array, B: Array, extra: Array, ids: Array,
+def _rerank_ids(luts_flat: Array, Bt: Array, extra: Array, ids: Array,
                 m: int, h: int):
     """Exact f32 distances for candidate ids straight from the LUTs (the
     tournament's O(1)-memory gather-recompute idiom, ops/adc.py); -1
-    sentinel ids come back +inf."""
+    sentinel ids come back +inf. Bt is the transposed [m, n] code layout,
+    so codebook i of point p lives at flat i*n + p."""
     nqp, cap = ids.shape
+    n = Bt.shape[1]
     ids_c = jnp.maximum(ids, 0)
     codes = jnp.take(
-        B.reshape(-1),
-        (ids_c[..., None] * m
-         + jnp.arange(m, dtype=jnp.int32)).reshape(nqp, -1),
+        Bt.reshape(-1),
+        (ids_c[..., None]
+         + n * jnp.arange(m, dtype=jnp.int32)).reshape(nqp, -1),
     ).reshape(nqp, cap, m)
     gidx = jnp.arange(m, dtype=jnp.int32)[None, None, :] * h + codes
     exact = jnp.sum(
@@ -311,7 +317,7 @@ def _rerank_ids(luts_flat: Array, B: Array, extra: Array, ids: Array,
 )
 def fused_scan_topk(
     luts: Array,
-    B: Array,
+    Bt: Array,
     extra: Array,
     *,
     k: int,
@@ -326,7 +332,10 @@ def fused_scan_topk(
 
     Args:
       luts: [nq, m, h] float32 per-query ADC tables.
-      B: [n, m] int32 codes; n is padded here to a tile multiple.
+      Bt: [m, n] int32 codes, TRANSPOSED device layout (see _onehot_tile:
+        [n, m] would be lane-padded m -> 128 on TPU HBM, an 18x capacity
+        tax that OOMs 64M-row segments); n is padded here to a tile
+        multiple.
       extra: [n] float32 additive term (db norms; zeros for PQ). Padded
         rows get +inf so they can never be selected.
       k: neighbors to return (sorted ascending).
@@ -353,7 +362,7 @@ def fused_scan_topk(
     (dists, ids, bad) with `bad` a device-side scalar bool.
     """
     nq, m, h = luts.shape
-    n = B.shape[0]
+    n = Bt.shape[1]
     if h % 128:
         # Pad the per-codebook LUT axis to the TPU lane width (cf. the ILS
         # kernel's _pad_h: Mosaic rejects shape casts at odd widths). Codes
@@ -394,7 +403,7 @@ def fused_scan_topk(
 
     pad_n = (-n) % tb
     if pad_n:
-        B = jnp.concatenate([B, jnp.zeros((pad_n, m), B.dtype)])
+        Bt = jnp.pad(Bt, ((0, 0), (0, pad_n)))
         extra = jnp.concatenate(
             [extra, jnp.full((pad_n,), jnp.inf, extra.dtype)]
         )
@@ -416,7 +425,7 @@ def fused_scan_topk(
     common_in_specs = [
         pl.BlockSpec((nqt, m * h), lambda q, t: (q, 0)),
         pl.BlockSpec((nqt, m * h), lambda q, t: (q, 0)),
-        pl.BlockSpec((tb, m), lambda q, t: (t, 0)),
+        pl.BlockSpec((m, tb), lambda q, t: (0, t)),
         pl.BlockSpec((1, tb), lambda q, t: (0, t)),
         pl.BlockSpec((nqt, 1), lambda q, t: (q, 0)),
     ]
@@ -441,8 +450,8 @@ def fused_scan_topk(
                 vmem_limit_bytes=127 * 1024 * 1024
             ),
             interpret=interpret,
-        )(hi, lo, B, extra[None, :], t0)
-        exact = _rerank_ids(flat, B, extra, out_i, m, h)
+        )(hi, lo, Bt, extra[None, :], t0)
+        exact = _rerank_ids(flat, Bt, extra, out_i, m, h)
         sd, si = jax.lax.sort((exact, out_i), dimension=1, num_keys=1)
         sd, si = sd[:, :k], si[:, :k]
         # --- Certificate. Every skipped element x satisfies
@@ -491,7 +500,7 @@ def fused_scan_topk(
             vmem_limit_bytes=127 * 1024 * 1024
         ),
         interpret=interpret,
-    )(hi, lo, B, extra[None, :], t0)
+    )(hi, lo, Bt, extra[None, :], t0)
     if variant == "unsorted":
         # One key-value sort over the cap-wide raw buffers for the WHOLE
         # query set (never per tile): restores the sorted-ascending output
@@ -504,7 +513,7 @@ def fused_scan_topk(
 
 def scan_topk_warm(
     luts: Array,
-    B: Array,
+    Bt: Array,
     extra: Array,
     *,
     k: int,
@@ -519,6 +528,8 @@ def scan_topk_warm(
     variant: str = "sorted",
 ):
     """fused_scan_topk with a sampled warm-start threshold. Always exact.
+
+    Bt: [m, n] transposed device codes (see fused_scan_topk).
 
     Pre-scans every `sample_stride`-th code and takes each query's
     `rank`-th sample distance as a static pruning bound t0, where rank =
@@ -540,7 +551,7 @@ def scan_topk_warm(
     anyway (e.g. adc._run_scan) check it at their own fetch boundary and
     rerun cold iff set, saving one ~35 ms host round-trip per query block.
     """
-    n = B.shape[0]
+    n = Bt.shape[1]
     key_mode = variant == "key"
     # The key variant's fallback (and the small-k/small-n early path,
     # where its re-rank overhead cannot pay off, and the t0-less cold
@@ -551,14 +562,14 @@ def scan_topk_warm(
     # (measured at k=100, n=1M: warm 6.5k qps vs cold 10.1k).
     if k < min_k or k * sample_stride * 2 > n or n < min_n:
         d, i = fused_scan_topk(
-            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
+            luts, Bt, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
             variant=exact_variant,
         )
         return (d, i, None) if deferred else (d, i)
     if sample_rank is None:
         kk = k / sample_stride
         sample_rank = int(np.ceil(kk + 6.0 * np.sqrt(kk) + 1.0))
-    Bs = B[::sample_stride]
+    Bs = Bt[:, ::sample_stride]
     es = extra[::sample_stride]
     ds, _ = fused_scan_topk(
         luts, Bs, es, k=sample_rank, tb=tb, nqt=nqt, interpret=interpret,
@@ -572,12 +583,12 @@ def scan_topk_warm(
                        + 5 * sample_stride * np.sqrt(sample_rank) + 64)
         cap_hint = -(-cap_hint // 128) * 128
         d, i, bad = fused_scan_topk(
-            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
+            luts, Bt, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
             t0=t0, variant="key", append_cap=cap_hint,
         )
     else:
         d, i = fused_scan_topk(
-            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret, t0=t0,
+            luts, Bt, extra, k=k, tb=tb, nqt=nqt, interpret=interpret, t0=t0,
             variant=variant,
         )
         bad = jnp.any(d[:, k - 1 :] >= t0)
@@ -586,7 +597,7 @@ def scan_topk_warm(
     if bool(np.asarray(bad)):
         # Certificate failed (expected ~never): exact cold run.
         return fused_scan_topk(
-            luts, B, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
+            luts, Bt, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
             variant=exact_variant,
         )
     return d, i

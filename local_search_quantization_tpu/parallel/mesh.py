@@ -37,6 +37,13 @@ def shard_batch(mesh: Mesh, x, axis: str = DATA_AXIS):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def shard_cols(mesh: Mesh, x, axis: str = DATA_AXIS):
+    """Shard the LAST dimension across the mesh — the transposed [m, n]
+    device code layout (ops/adc.lut_scan_block) shards its n axis here."""
+    spec = P(*([None] * (x.ndim - 1)), axis)
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
 def replicated(mesh: Mesh, x):
     """Fully replicate an array (codebooks, LUT tensors, rotations)."""
     return jax.device_put(x, NamedSharding(mesh, P()))

@@ -30,7 +30,7 @@ Array = jax.Array
 def sharded_scan_topk(
     mesh: Mesh,
     luts: Array,
-    B: Array,
+    Bt: Array,
     extra: Array | None,
     k: int,
     *,
@@ -40,8 +40,10 @@ def sharded_scan_topk(
 ) -> KNNResult:
     """Scan a sharded code database; return global top-k per query.
 
-    B: [n, m] sharded on `axis` (n divisible by mesh size * no padding —
-    callers pad with +inf `extra` rows as in ops/adc._run_scan).
+    Bt: [m, n] TRANSPOSED device codes (ops/adc.lut_scan_block: the
+    [n, m] layout is lane-padded m -> 128 on TPU HBM), sharded on `axis`
+    along n (n divisible by mesh size * no padding — callers pad with
+    +inf `extra` rows as in ops/adc._run_scan).
 
     method: "scan" = per-block lax.top_k streaming merge; "kernel" = the
     fused Pallas scan+select kernel per shard (ops/select_pallas.py, the
@@ -49,27 +51,28 @@ def sharded_scan_topk(
     off-TPU); "auto" picks "kernel" on TPU for moderate k.
     """
     nshards = mesh.shape[axis]
-    shard_n = B.shape[0] // nshards
+    shard_n = Bt.shape[1] // nshards
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
         method = "kernel" if on_tpu and k <= 2048 and 4 * k < shard_n else "scan"
 
-    def local(luts, B, extra):
+    def local(luts, Bt, extra):
         idx = jax.lax.axis_index(axis)
+        n_loc = Bt.shape[1]
         if method == "kernel":
             from local_search_quantization_tpu.ops.select_pallas import (
                 fused_scan_topk,
             )
 
             e = extra if extra is not None else jnp.zeros(
-                B.shape[0], jnp.float32
+                n_loc, jnp.float32
             )
             d_, i_ = fused_scan_topk(
-                luts, B, e, k=min(k, B.shape[0]),
+                luts, Bt, e, k=min(k, n_loc),
                 interpret=jax.default_backend() != "tpu",
             )
-            if k > B.shape[0]:  # tiny-shard: pad honest sentinels
-                padw = k - B.shape[0]
+            if k > n_loc:  # tiny-shard: pad honest sentinels
+                padw = k - n_loc
                 d_ = jnp.concatenate(
                     [d_, jnp.full((d_.shape[0], padw), jnp.inf)], axis=1
                 )
@@ -78,7 +81,7 @@ def sharded_scan_topk(
                 )
             res = KNNResult(d_, i_)
         else:
-            res = _scan_topk(luts, B, extra, k, min(block, B.shape[0]),
+            res = _scan_topk(luts, Bt, extra, k, min(block, n_loc),
                              pvary_axis=axis)
         # Unfilled slots (k > valid rows in this shard) carry the -1 id
         # sentinel; offsetting it would forge a plausible id on another
@@ -92,7 +95,7 @@ def sharded_scan_topk(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), in_extra),
+        in_specs=(P(), P(None, axis), in_extra),
         out_specs=KNNResult(P(axis, None, None), P(axis, None, None)),
         # The pallas path's outputs carry no varying-manual-axes typing
         # (and its internal iotas clash with vma-typed refs under the
@@ -100,7 +103,7 @@ def sharded_scan_topk(
         # path keeps the stricter typing via explicit pcasts.
         check_vma=(method != "kernel"),
     )
-    per_shard = fn(luts, B, extra)  # [S, nq, k] each
+    per_shard = fn(luts, Bt, extra)  # [S, nq, k] each
 
     # Merge the S per-shard top-k lists: one re-top-k over S*k candidates
     # per query (runs as a normal jitted op over the sharded arrays — the
@@ -128,7 +131,7 @@ def sharded_linscan_pq(
 
     Pass R to rotate queries into code space first (OPQ).
     """
-    from local_search_quantization_tpu.parallel.mesh import replicated, shard_batch
+    from local_search_quantization_tpu.parallel.mesh import replicated, shard_cols
 
     B = np.asarray(B)
     Q = np.asarray(Q)
@@ -142,8 +145,8 @@ def sharded_linscan_pq(
     if pad:
         B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
         extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
-    Bs = shard_batch(mesh, jnp.asarray(B))
-    es = shard_batch(mesh, jnp.asarray(extra))
+    Bs = shard_cols(mesh, jnp.asarray(np.ascontiguousarray(B.T)))
+    es = shard_cols(mesh, jnp.asarray(extra))
     Cr = replicated(mesh, jnp.asarray(C_sub))
 
     # Dispatch ALL chunks before fetching any (same queue-then-fetch
@@ -178,7 +181,7 @@ def sharded_linscan_lsq(
     method: str = "auto",
 ) -> KNNResult:
     """Multi-chip additive-code scanner driver (host-side query chunking)."""
-    from local_search_quantization_tpu.parallel.mesh import replicated, shard_batch
+    from local_search_quantization_tpu.parallel.mesh import replicated, shard_cols
 
     B = np.asarray(B)
     n = B.shape[0]
@@ -189,8 +192,8 @@ def sharded_linscan_lsq(
     if pad:
         B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
         extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
-    Bs = shard_batch(mesh, jnp.asarray(B))
-    es = shard_batch(mesh, jnp.asarray(extra))
+    Bs = shard_cols(mesh, jnp.asarray(np.ascontiguousarray(B.T)))
+    es = shard_cols(mesh, jnp.asarray(extra))
     Cr = replicated(mesh, jnp.asarray(C))
 
     # Queue-then-fetch, as in sharded_linscan_pq / ops/adc._run_scan.

@@ -180,7 +180,7 @@ def test_scan_topk_warm_start_exact_and_fallback(rng):
 
     for rank in (None, 1):  # None = 6-sigma sampled rank; 1 = force fallback
         dd, ii = scan_topk_warm(
-            luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024,
+            luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024,
             interpret=True, sample_stride=4, min_n=0, min_k=0,
             sample_rank=rank,
         )
@@ -195,7 +195,7 @@ def test_scan_topk_warm_start_exact_and_fallback(rng):
     # for a sound sample rank, set for the deliberately-broken one.
     for rank, expect_bad in ((None, False), (1, True)):
         _, _, bad = scan_topk_warm(
-            luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024,
+            luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024,
             interpret=True, sample_stride=4, min_n=0, min_k=0,
             sample_rank=rank, deferred=True,
         )
@@ -221,9 +221,9 @@ def test_select_kernel_unsorted_variant_matches_sorted(rng):
     full = -2.0 * Q @ recon.T + dbn[None, :]
     oracle = np.sort(full, axis=1)[:, :k]
 
-    d1, _ = fused_scan_topk(luts, jnp.asarray(B), jnp.asarray(dbn), k=k,
+    d1, _ = fused_scan_topk(luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k,
                             tb=1024, interpret=True, variant="sorted")
-    d2, i2 = fused_scan_topk(luts, jnp.asarray(B), jnp.asarray(dbn), k=k,
+    d2, i2 = fused_scan_topk(luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k,
                              tb=1024, interpret=True, variant="unsorted")
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(d2), oracle, rtol=1e-4, atol=1e-4)
@@ -233,7 +233,7 @@ def test_select_kernel_unsorted_variant_matches_sorted(rng):
     )
 
     dw, _ = scan_topk_warm(
-        luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024, interpret=True,
+        luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024, interpret=True,
         sample_stride=4, min_n=0, min_k=0, variant="unsorted",
     )
     np.testing.assert_allclose(np.asarray(dw), oracle, rtol=1e-4, atol=1e-4)
@@ -260,7 +260,7 @@ def test_select_kernel_key_variant(rng):
 
     # Warm key path, deferred certificate.
     dw, iw, badw = scan_topk_warm(
-        luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024,
+        luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024,
         interpret=True, sample_stride=4, min_n=0, min_k=0, variant="key",
         deferred=True,
     )
@@ -275,7 +275,7 @@ def test_select_kernel_key_variant(rng):
     # Non-deferred wrapper resolves the certificate itself (falls back to
     # the exact path when needed) — result must be exact either way.
     dw2, _ = scan_topk_warm(
-        luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=1024,
+        luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024,
         interpret=True, sample_stride=4, min_n=0, min_k=0, variant="key",
     )
     np.testing.assert_allclose(np.asarray(dw2), oracle, rtol=1e-4,
@@ -289,13 +289,13 @@ def test_select_kernel_key_variant(rng):
     luts0 = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C0))
     dbn0 = np.full(n, 7.0, np.float32)
     _, _, bad0 = scan_topk_warm(
-        luts0, jnp.asarray(B), jnp.asarray(dbn0), k=k, tb=1024,
+        luts0, jnp.asarray(B.T), jnp.asarray(dbn0), k=k, tb=1024,
         interpret=True, sample_stride=4, min_n=0, min_k=0, variant="key",
         deferred=True,
     )
     assert bool(np.asarray(bad0))
     d0, _ = scan_topk_warm(
-        luts0, jnp.asarray(B), jnp.asarray(dbn0), k=k, tb=1024,
+        luts0, jnp.asarray(B.T), jnp.asarray(dbn0), k=k, tb=1024,
         interpret=True, sample_stride=4, min_n=0, min_k=0, variant="key",
     )
     np.testing.assert_allclose(np.asarray(d0), np.full((nq, k), 7.0),
@@ -334,7 +334,7 @@ def test_select_kernel_non_lane_aligned_h(rng):
         dbn = np.sum(recon * recon, axis=1).astype(np.float32)
         luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
         dd, ii = fused_scan_topk(
-            luts, jnp.asarray(B), jnp.asarray(dbn), k=k, tb=512,
+            luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=512,
             interpret=True,
         )
         full = -2.0 * Q @ recon.T + dbn[None, :]
@@ -366,7 +366,7 @@ def test_linscan_tournament_exactly_matches_streaming(rng):
     # `extra` term re-added during candidate recomputation.
     luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
     rec = adc._scan_topk_tournament(
-        luts, jnp.asarray(B), jnp.asarray(dbnorms), k, 1024,
+        luts, jnp.asarray(B.T), jnp.asarray(dbnorms), k, 1024,
         store_dists=False,
     )
     np.testing.assert_allclose(np.asarray(rec.dists),
