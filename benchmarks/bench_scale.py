@@ -94,15 +94,23 @@ def query100m(n_total=100_000_000, nq=2048, k=1000, m=7, h=256, d=128):
     B = rng.integers(0, h, size=(n_total, m), dtype=np.int32)
     dbn = (rng.normal(size=n_total).astype(np.float32) ** 2) * 1e4
     Q = rng.normal(size=(nq, d)).astype(np.float32) * 40.0
-    t0 = time.perf_counter()
-    res = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k)
-    dt = time.perf_counter() - t0
-    assert res.ids.shape == (nq, k) and res.ids.max() < n_total
-    assert (np.diff(res.dists, axis=1) >= -1e-5).all()
     nseg = -(-n_total // (1 << 26))
-    print(f"[query100m] {nq} queries x k={k} over {n_total:,} codes "
-          f"({nseg} host-merged segments) in {dt:.1f}s = {nq/dt:,.1f} qps "
-          f"incl. {B.nbytes/2**30:.1f} GB H2D code streaming", flush=True)
+    for run in ("cold", "steady"):
+        # Second pass reuses every compiled executable (remote compiles
+        # are per-process on this backend) but still pays the full
+        # host-transpose + H2D code streaming per segment — the honest
+        # production cost of a >HBM scan (the reference's analog pays
+        # disk reads, linscan_aqd.cpp:52-53).
+        t0 = time.perf_counter()
+        res = adc.linscan_lsq(B, Q + (1.0 if run == "steady" else 0.0),
+                              jnp.asarray(C), dbn, k=k)
+        dt = time.perf_counter() - t0
+        assert res.ids.shape == (nq, k) and res.ids.max() < n_total
+        assert (np.diff(res.dists, axis=1) >= -1e-5).all()
+        print(f"[query100m:{run}] {nq} queries x k={k} over {n_total:,} "
+              f"codes ({nseg} host-merged segments) in {dt:.1f}s = "
+              f"{nq/dt:,.1f} qps incl. {B.nbytes/2**30:.1f} GB H2D code "
+              f"streaming", flush=True)
 
 
 def k10000(n=1_000_000, nq=1024, k=10000, m=7, h=256, d=128):

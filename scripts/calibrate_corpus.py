@@ -111,6 +111,8 @@ if __name__ == "__main__":
     ap.add_argument("--nbase", type=int, default=60_000)
     ap.add_argument("--nquery", type=int, default=800)
     ap.add_argument("--niter", type=int, default=15)
+    ap.add_argument("--seed", type=int, default=0)
     a = ap.parse_args()
     for mix in a.mixes:
-        one(mix, a.noise, a.alpha, a.ntrain, a.nbase, a.nquery, a.niter)
+        one(mix, a.noise, a.alpha, a.ntrain, a.nbase, a.nquery, a.niter,
+            seed=a.seed)
