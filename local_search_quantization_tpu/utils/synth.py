@@ -6,7 +6,12 @@ SIFT-statistics corpus so every pipeline (and CI) runs end-to-end without
 downloading TEXMEX data (/root/reference/src/read/read_datasets.jl:16-34
 reads the real files; this is the offline stand-in).
 
-Corpus model (v2 — all constants publishable, no data files):
+Corpus model (v3 — all constants publishable, no data files; v3 re-
+calibrates the within-cluster spread 3x up, concentrates norms, and moves
+planted queries out to alpha=0.8 after the v2 calibration proved too easy:
+quantization noise was so far below NN margins that the 1-byte norm
+quantization dominated LSQ's ranking and OPQ inverted the papers'
+ordering — see scripts/{diag_flip,calibrate_corpus}.py):
 
 The round-1 corpus (isotropic Gaussian mixture, 128 tight clusters) made
 exact-NN retrieval intrinsically hard — thousands of same-cluster points at
@@ -76,7 +81,7 @@ def synthetic_dataset(
     n_query: int = 100,
     n_clusters: int | None = None,
     noise: float = 1.0,
-    query_alpha: float = 0.35,
+    query_alpha: float = 0.8,
     planted_frac: float = 0.9,
     basis_mix: float = 0.0,
 ) -> SynthData:
@@ -124,7 +129,14 @@ def synthetic_dataset(
     ] * np.abs(rng.normal(1.0, 0.25, size=(K, 1)))
     centers = np.maximum(mu[None, :] + uc @ Wc, 0.0)
     cn = np.linalg.norm(centers, axis=1, keepdims=True)
-    target = np.exp(rng.normal(np.log(320.0), 0.18, size=(K, 1)))
+    # Concentrated norms (v3: lognormal sigma 0.10, was 0.18): the SIFT
+    # pipeline renormalizes + clips descriptors, so real norms cluster
+    # tightly. This also calibrates the 1-byte norm-quantization handicap
+    # of additive codes (PQ/OPQ LUTs carry EXACT subspace norms; only
+    # LSQ pays the norm byte): at sigma 0.18 the sqnorm tail error was
+    # comparable to NN margins and erased LSQ's r@1 edge, which real
+    # SIFT1M results (with the same 1-byte norms) do not show.
+    target = np.exp(rng.normal(np.log(320.0), 0.10, size=(K, 1)))
     centers = centers / np.maximum(cn, 1e-9) * target
 
     # --- Shared direction bank with per-cluster power-law weights:
@@ -135,7 +147,12 @@ def synthetic_dataset(
     V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-9)
     lam = (np.arange(1, L + 1, dtype=np.float64)) ** -1.6
     w = rng.gamma(1.0, 1.0, size=(K, L)) * lam[None, :]
-    sigma = noise * 0.28 * target[:, 0]  # [K]
+    # v3 spread calibration: 0.84 (= 3x the v2 0.28). At 0.28 the corpus
+    # was so easy to quantize (LSQ mse/sqnorm ~ 0.5% vs real SIFT1M's
+    # ~15-20%) that method separation vanished and a single rotation
+    # made product codes anomalously strong (OPQ > LSQ, inverting the
+    # papers). Calibration sweep: scripts/calibrate_corpus.py.
+    sigma = noise * 0.84 * target[:, 0]  # [K]
     w *= (sigma / np.maximum(np.linalg.norm(w, axis=1), 1e-9))[:, None]
     iid = 0.06 * sigma / np.sqrt(d)  # [K] per-dim iid floor
 
