@@ -54,12 +54,21 @@ def main():
     import os
 
     variants = os.environ.get("LSQ_TPU_SELECT_VARIANTS", "sorted").split(",")
-    nqts = [None] if nq <= 1024 else [None, nq]  # None = _pick_nqt (<=1024)
+    # Explicit query-block sweep (e.g. LSQ_TPU_SELECT_NQTS=128,256,512 for
+    # the large-k geometry, where per-insert buffer passes are O(cap) and
+    # small blocks bound them); default keeps the historical pair.
+    env_nqts = os.environ.get("LSQ_TPU_SELECT_NQTS", "")
+    if env_nqts:
+        nqts = [int(x) for x in env_nqts.split(",")]
+    else:
+        nqts = [None] if nq <= 1024 else [None, nq]  # None = _pick_nqt
+    warm_only = os.environ.get("LSQ_TPU_SELECT_WARM_ONLY", "") == "1"
     for tb in tbs:
         for nqt in nqts:
             for v in variants:
-                cold = timeit(lambda lt: fused_scan_topk(
-                    lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v))
+                cold = 0.0 if warm_only else timeit(
+                    lambda lt: fused_scan_topk(
+                        lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v))
                 warm = timeit(lambda lt: scan_topk_warm(
                     lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v))
                 print(f"k={k} nq={nq} tb={tb} nqt={nqt or 'auto'} {v}: "

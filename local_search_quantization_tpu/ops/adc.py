@@ -341,12 +341,22 @@ def _run_scan(
         )
     if topk_method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and k <= 2048 and 4 * k < n:
+        if on_tpu and k <= 10240 and 4 * k < n:
+            # The fused scan+select kernel covers the reference's full
+            # linscan depth range (k defaults to 10000, Linscan.jl:5). At
+            # k > 2048 the kernel branch switches to the replace-worst
+            # buffer + one post-kernel XLA sort with a small query block
+            # (O(cap) insert passes): measured 1,028 qps warm at k=10000
+            # over 1M (nqt=256, tb=4096, v5e) vs 167 for the group-minima
+            # tournament whose two lax.top_k(k=10000) calls dominate it.
+            # The 10240 bound is the verified VMEM envelope: the kernel's
+            # double-buffered [nqt, cap] output windows are 16*nqt*cap
+            # bytes (nqt=512 at cap=10112 already OOMs 128M vmem); deeper
+            # k falls back to the tournament.
             topk_method = "kernel"
         elif 4 * k < n:
-            # Large k (the reference's linscan default is k=10000,
-            # Linscan.jl:5): the group-minima tournament is exact and far
-            # cheaper than the per-block lax.top_k merge.
+            # Too-deep-for-VMEM k (or CPU): the group-minima tournament is
+            # exact and far cheaper than the per-block lax.top_k merge.
             topk_method = "tournament"
         else:
             topk_method = "exact"
@@ -387,10 +397,23 @@ def _run_scan(
         )
         interp = jax.default_backend() != "tpu"
         import os as _os
-        variant = _os.environ.get("LSQ_TPU_SELECT_VARIANT", "sorted")
-        tb = 2048  # shared by warm scan and fallback: one compiled shape
+        large_k = k > 2048
+        # Large k: the sorted buffer's O(cap) insert passes are bounded by
+        # a small query block + replace-worst buffer (one XLA sort after
+        # the kernel restores the output contract). Small/medium k keeps
+        # the measured-optimal sorted geometry.
+        variant = _os.environ.get(
+            "LSQ_TPU_SELECT_VARIANT", "unsorted" if large_k else "sorted"
+        )
+        nqt = int(_os.environ.get("LSQ_TPU_SELECT_NQT", "0")) or (
+            256 if large_k else None
+        )
+        # tb shared by warm scan and fallback: one compiled shape. 4096
+        # measured best for the sorted k<=2048 path on the transposed
+        # layout (5,619 qps vs 5,362 at tb=2048; nq=1024, k=1000, v5e).
+        tb = int(_os.environ.get("LSQ_TPU_SELECT_TB", "0")) or 4096
         d, i, bad = scan_topk_warm(
-            luts, Bj, extra_arr, k=k, tb=tb, interpret=interp,
+            luts, Bj, extra_arr, k=k, tb=tb, nqt=nqt, interpret=interp,
             deferred=True, variant=variant,
         )
         d_np, i_np = np.asarray(d), np.asarray(i)
@@ -406,7 +429,8 @@ def _run_scan(
 
             fb_variant = "sorted" if variant == "key" else variant
             d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k, tb=tb,
-                                     interpret=interp, variant=fb_variant)
+                                     nqt=nqt, interpret=interp,
+                                     variant=fb_variant)
             d_np, i_np = np.asarray(d2), np.asarray(i2)
         return KNNResult(d_np, i_np)
 

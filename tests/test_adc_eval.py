@@ -239,6 +239,39 @@ def test_select_kernel_unsorted_variant_matches_sorted(rng):
     np.testing.assert_allclose(np.asarray(dw), oracle, rtol=1e-4, atol=1e-4)
 
 
+def test_select_kernel_unsorted_large_k_saturating(rng):
+    """Reference-depth geometry scaled down (k=10000 over 1M -> k=140 over
+    8192): warm-started unsorted variant where below-threshold inserts
+    EXCEED the cap-rounded buffer, so replace-worst genuinely replaces
+    (not just append-fills), with an explicit small query block (the
+    production large-k geometry bounds O(cap) insert passes with small
+    nqt). Must stay value-exact vs the f64-graded oracle."""
+    from local_search_quantization_tpu.ops.select_pallas import scan_topk_warm
+
+    n, nq, d, m, h, k = 8192, 9, 8, 3, 8, 140
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+    full = -2.0 * Q @ recon.T + dbn[None, :]
+    oracle = np.sort(full, axis=1)[:, :k]
+    # cap rounds to 256; sampled t0 at stride 8 admits ~rank*8 ~ 350+
+    # elements, so the buffer saturates and replacement paths execute.
+    dw, iw = scan_topk_warm(
+        luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024, nqt=4,
+        interpret=True, sample_stride=8, min_n=0, min_k=0,
+        variant="unsorted",
+    )
+    dw, iw = np.asarray(dw), np.asarray(iw)
+    np.testing.assert_allclose(dw, oracle, rtol=1e-4, atol=1e-4)
+    assert (np.diff(dw, axis=1) >= -1e-6).all()
+    np.testing.assert_allclose(
+        np.take_along_axis(full, iw, axis=1), dw, rtol=1e-4, atol=1e-4
+    )
+
+
 def test_select_kernel_key_variant(rng):
     """variant="key": hi-only scan + packed-monotone-key append extraction
     + exact XLA re-rank. Contract: bad=False => value-exact sorted top-k;
