@@ -185,6 +185,170 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
     )
 
 
+def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
+                           t0_ref, out_d_ref, out_i_ref, dist_ref, *,
+                           m: int, h: int, k: int, cap: int, tb: int,
+                           nqt: int, unsorted: bool = False):
+    """Two-level extraction (variant="grouped"): up to 128 elements per
+    full-width pass instead of 1.
+
+    The plain kernel's bound is extraction iterations x full-width
+    [nqt, tb] passes (BASELINE.md round-3 analysis: per-row lane
+    compaction is a vectorization wall, so it extracts ONE element per
+    pass). This kernel sidesteps the wall with UNIFORM extraction: each
+    pass computes the exact (min, argmin) of every lane class
+    (class c = lanes congruent to c mod 128) via a compare-select fold
+    pyramid [nqt, tb] -> [nqt, 128] — contiguous halves, so every op is
+    a >=128-wide static slice — then kills all 128 class minima at once
+    (ids tiled back up by lane-concat doubling) and runs the usual
+    threshold extraction loop on the 128-wide candidate matrix, where a
+    min/argmin/kill iteration costs tb/128 times less. Rows and classes
+    never diverge: every class extracts its minimum every pass whether
+    or not it beats the threshold, which is safe because the threshold
+    only tightens (same monotonicity argument as _select_kernel's
+    unconditional kill). The outer loop re-runs the pyramid until no
+    remaining element beats the threshold, so the result is exact.
+
+    Reference design point being replaced: the C++ scanner's serial
+    heap/partial_sort over the scanned block
+    (/root/reference/src/linscan/cpp/linscan_aqd.cpp:82-91)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_d_ref[:] = jnp.full((nqt, cap), jnp.inf, jnp.float32)
+        out_i_ref[:] = jnp.full((nqt, cap), -1, jnp.int32)
+
+    oh = _onehot_tile(codes_ref, m, h, tb)  # [m*h, tb]
+    dhi = jax.lax.dot_general(
+        lut_hi_ref[:, :], oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dlo = jax.lax.dot_general(
+        lut_lo_ref[:, :], oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dist_ref[:] = dhi + dlo + extra_ref[0, :][None, :]
+
+    lane_cap = jax.lax.broadcasted_iota(jnp.int32, (nqt, cap), dimension=1)
+    lane_tb = jax.lax.broadcasted_iota(jnp.int32, (nqt, tb), dimension=1)
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (nqt, 128), dimension=1)
+
+    def class_minima():
+        """Exact (value, absolute lane) of each mod-128 lane class, via
+        log2(tb/128) compare-select folds of contiguous halves. Ties keep
+        the lower lane (deterministic; tie id order is unspecified in the
+        output contract)."""
+        v, i, w = dist_ref[:, :], lane_tb, tb
+        while w > 128:
+            w //= 2
+            va = jax.lax.slice(v, (0, 0), (nqt, w))
+            vb = jax.lax.slice(v, (0, w), (nqt, 2 * w))
+            ia = jax.lax.slice(i, (0, 0), (nqt, w))
+            ib = jax.lax.slice(i, (0, w), (nqt, 2 * w))
+            take = va <= vb
+            v = jnp.where(take, va, vb)
+            i = jnp.where(take, ia, ib)
+        return v, i  # [nqt, 128]
+
+    def kill(ci):
+        """Kill the 128 extracted lanes: tile ci back to [nqt, tb] by
+        lane-concat doubling (tiled[q, l] = ci[q, l % 128]); lane l is an
+        extracted class minimum iff l == tiled[q, l]."""
+        tiled, w = ci, 128
+        while w < tb:
+            tiled = jnp.concatenate([tiled, tiled], axis=1)
+            w *= 2
+        dist_ref[:, :] = jnp.where(
+            lane_tb == tiled, jnp.inf, dist_ref[:, :]
+        )
+
+    def kth():
+        if unsorted:
+            buf_kth = jnp.max(out_d_ref[:, :], axis=1, keepdims=True)
+        else:
+            buf_kth = jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k))
+        return jnp.minimum(buf_kth, t0_ref[:, :])  # [nqt, 1]
+
+    def narrow(cv, ci, thr):
+        """Threshold extraction over the [nqt, 128] candidates — the
+        plain kernel's loop at 1/(tb/128) the per-iteration width, with
+        the buffer discipline (sorted insert / replace-worst) verbatim
+        from _select_kernel."""
+
+        def nbody(c):
+            cv, vmin, idx, thr, _ = c
+            act = vmin < thr
+            gid = t * tb + jnp.sum(
+                jnp.where(lane_g == idx, ci, 0), axis=1, keepdims=True
+            )
+            cv = jnp.where(lane_g == idx, jnp.inf, cv)
+
+            buf_d, buf_i = out_d_ref[:, :], out_i_ref[:, :]
+            if unsorted:
+                wpos = jnp.argmax(buf_d, axis=1).astype(jnp.int32)[:, None]
+                mask = (lane_cap == wpos) & act
+                new_d = jnp.where(mask, vmin, buf_d)
+                out_d_ref[:, :] = new_d
+                out_i_ref[:, :] = jnp.where(mask, gid, buf_i)
+                thr = jnp.minimum(
+                    jnp.max(new_d, axis=1, keepdims=True), t0_ref[:, :]
+                )
+            else:
+                pos = jnp.sum(
+                    (buf_d < vmin).astype(jnp.int32), axis=1, keepdims=True
+                )
+                pos = jnp.where(act, pos, cap)
+                below = lane_cap < pos
+                at = lane_cap == pos
+                new_d = jnp.where(
+                    below, buf_d,
+                    jnp.where(at, vmin, pltpu.roll(buf_d, 1, axis=1)),
+                )
+                out_d_ref[:, :] = new_d
+                out_i_ref[:, :] = jnp.where(
+                    below, buf_i,
+                    jnp.where(at, gid, pltpu.roll(buf_i, 1, axis=1)),
+                )
+                thr = jnp.minimum(
+                    jax.lax.slice(new_d, (0, k - 1), (nqt, k)),
+                    t0_ref[:, :],
+                )
+            vmin2 = jnp.min(cv, axis=1, keepdims=True)
+            idx2 = jnp.argmin(cv, axis=1).astype(jnp.int32)[:, None]
+            cont = jnp.sum((vmin2 < thr).astype(jnp.float32))
+            return cv, vmin2, idx2, thr, cont
+
+        vmin0 = jnp.min(cv, axis=1, keepdims=True)
+        idx0 = jnp.argmin(cv, axis=1).astype(jnp.int32)[:, None]
+        cont0 = jnp.sum((vmin0 < thr).astype(jnp.float32))
+        out = jax.lax.while_loop(
+            lambda c: c[4] > 0.0, nbody, (cv, vmin0, idx0, thr, cont0)
+        )
+        return out[3]  # tightened threshold
+
+    def obody(carry):
+        cv, ci, thr, _ = carry
+        kill(ci)
+        thr = narrow(cv, ci, thr)
+        cv2, ci2 = class_minima()
+        cont = jnp.sum(
+            (jnp.min(cv2, axis=1, keepdims=True) < thr).astype(jnp.float32)
+        )
+        return cv2, ci2, thr, cont
+
+    cv0, ci0 = class_minima()
+    thr0 = kth()
+    cont0 = jnp.sum(
+        (jnp.min(cv0, axis=1, keepdims=True) < thr0).astype(jnp.float32)
+    )
+    jax.lax.while_loop(
+        lambda c: c[3] > 0.0, obody, (cv0, ci0, thr0, cont0)
+    )
+
+
 def _f32_to_key(b):
     """Signed-int32-monotone map of f32 bit patterns: x < y (as floats)
     iff key(x) < key(y) (as SIGNED int32s). b: int32 bitcast of f32.
@@ -346,7 +510,14 @@ def fused_scan_topk(
         keeps a replace-worst buffer (~2x fewer buffer passes per insert)
         and runs ONE XLA key-value sort after the kernel — both are
         exact with identical output semantics (ties may order ids
-        differently). "key" REQUIRES a finite t0 (scan_topk_warm provides
+        differently). "grouped" is the sorted buffer behind a two-level
+        extraction (fold-pyramid class minima: up to 128 extractions per
+        full-width pass — see _select_kernel_grouped); exact, same
+        output contract, requires tb a power of two >= 128.
+        "grouped_unsorted" combines the two-level extraction with the
+        replace-worst buffer + one post-kernel XLA sort (the large-k
+        geometry, where sorted inserts are O(cap)).
+        "key" REQUIRES a finite t0 (scan_topk_warm provides
         it): hi-only scan + packed-monotone-key append extraction + exact
         XLA re-rank, returning (dists, ids, bad) where `bad` flags the
         certificate (hi-matmul error bound vs the k-th margin, and
@@ -479,10 +650,18 @@ def fused_scan_topk(
         bad = jnp.any(sd[:, k - 1 :] >= T_hi - err) | overflow
         return sd[:nq], si[:nq], bad
 
-    kernel = functools.partial(
-        _select_kernel, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt,
-        unsorted=(variant == "unsorted"),
-    )
+    if variant in ("grouped", "grouped_unsorted"):
+        assert tb >= 128 and (tb & (tb - 1)) == 0, (
+            "variant='grouped' needs a power-of-two tb (fold pyramid)", tb)
+        kernel = functools.partial(
+            _select_kernel_grouped, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt,
+            unsorted=(variant == "grouped_unsorted"),
+        )
+    else:
+        kernel = functools.partial(
+            _select_kernel, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt,
+            unsorted=(variant == "unsorted"),
+        )
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=grid,
@@ -501,7 +680,7 @@ def fused_scan_topk(
         ),
         interpret=interpret,
     )(hi, lo, Bt, extra[None, :], t0)
-    if variant == "unsorted":
+    if variant in ("unsorted", "grouped_unsorted"):
         # One key-value sort over the cap-wide raw buffers for the WHOLE
         # query set (never per tile): restores the sorted-ascending output
         # contract at ~cap*log^2(cap) XLA sort cost amortized over the

@@ -272,6 +272,80 @@ def test_select_kernel_unsorted_large_k_saturating(rng):
     )
 
 
+def test_select_kernel_grouped_variant_matches_sorted(rng):
+    """The two-level fold-pyramid extraction (variant="grouped") must
+    return exactly the sorted variant's result — cold, warm, under heavy
+    exact ties (integer LUTs), and when k saturates near the buffer cap."""
+    from local_search_quantization_tpu.ops.select_pallas import (
+        fused_scan_topk,
+        scan_topk_warm,
+    )
+
+    n, nq, d, m, h, k = 8192, 7, 8, 3, 8, 33
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+    full = -2.0 * Q @ recon.T + dbn[None, :]
+    oracle = np.sort(full, axis=1)[:, :k]
+
+    for tb in (512, 1024):
+        d1, _ = fused_scan_topk(luts, jnp.asarray(B.T), jnp.asarray(dbn),
+                                k=k, tb=tb, interpret=True, variant="sorted")
+        d2, i2 = fused_scan_topk(luts, jnp.asarray(B.T), jnp.asarray(dbn),
+                                 k=k, tb=tb, interpret=True,
+                                 variant="grouped")
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(d2), oracle,
+                                   rtol=1e-4, atol=1e-4)
+        # Returned ids must carry their own exact distances.
+        np.testing.assert_allclose(
+            np.take_along_axis(full, np.asarray(i2), axis=1), np.asarray(d2),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    dw, _ = scan_topk_warm(
+        luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024,
+        interpret=True, sample_stride=4, min_n=0, min_k=0, variant="grouped",
+    )
+    np.testing.assert_allclose(np.asarray(dw), oracle, rtol=1e-4, atol=1e-4)
+
+    # Heavy exact ties: small-integer LUTs, zero extra term.
+    luts_t = jnp.asarray(
+        rng.integers(0, 3, size=(nq, m, 8)).astype(np.float32)
+    )
+    full_t = np.asarray(luts_t)[:, np.arange(m)[:, None], B.T].sum(1)
+    oracle_t = np.sort(full_t, axis=1)[:, :k]
+    dt, it = fused_scan_topk(luts_t, jnp.asarray(B.T), jnp.zeros(n), k=k,
+                             tb=512, interpret=True, variant="grouped")
+    np.testing.assert_allclose(np.asarray(dt), oracle_t, rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.take_along_axis(full_t, np.asarray(it), axis=1), np.asarray(dt),
+        rtol=0, atol=0,
+    )
+
+    # k saturating the 128-multiple cap (cold: exercises many outer
+    # pyramid rounds while the buffer fills); also the replace-worst
+    # flavor with its post-kernel sort, warm and cold.
+    k_big = 128
+    for v in ("grouped", "grouped_unsorted"):
+        d3, _ = fused_scan_topk(luts, jnp.asarray(B.T), jnp.asarray(dbn),
+                                k=k_big, tb=512, interpret=True, variant=v)
+        np.testing.assert_allclose(
+            np.asarray(d3), np.sort(full, axis=1)[:, :k_big],
+            rtol=1e-4, atol=1e-4,
+        )
+    dwu, _ = scan_topk_warm(
+        luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024,
+        interpret=True, sample_stride=4, min_n=0, min_k=0,
+        variant="grouped_unsorted",
+    )
+    np.testing.assert_allclose(np.asarray(dwu), oracle, rtol=1e-4, atol=1e-4)
+
+
 def test_select_kernel_key_variant(rng):
     """variant="key": hi-only scan + packed-monotone-key append extraction
     + exact XLA re-rank. Contract: bad=False => value-exact sorted top-k;
