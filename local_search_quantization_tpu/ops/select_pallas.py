@@ -329,23 +329,24 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
         )
         return out[3]  # tightened threshold
 
+    def remaining(thr):
+        """Does any non-killed element still beat the threshold? ONE
+        full-width min pass — the pyramid only runs when this is true,
+        so a zero-hit tile costs the same single pass as the plain
+        kernel's."""
+        rmin = jnp.min(dist_ref[:, :], axis=1, keepdims=True)
+        return jnp.sum((rmin < thr).astype(jnp.float32))
+
     def obody(carry):
-        cv, ci, thr, _ = carry
+        thr, _ = carry
+        cv, ci = class_minima()
         kill(ci)
         thr = narrow(cv, ci, thr)
-        cv2, ci2 = class_minima()
-        cont = jnp.sum(
-            (jnp.min(cv2, axis=1, keepdims=True) < thr).astype(jnp.float32)
-        )
-        return cv2, ci2, thr, cont
+        return thr, remaining(thr)
 
-    cv0, ci0 = class_minima()
     thr0 = kth()
-    cont0 = jnp.sum(
-        (jnp.min(cv0, axis=1, keepdims=True) < thr0).astype(jnp.float32)
-    )
     jax.lax.while_loop(
-        lambda c: c[3] > 0.0, obody, (cv0, ci0, thr0, cont0)
+        lambda c: c[1] > 0.0, obody, (thr0, remaining(thr0))
     )
 
 
