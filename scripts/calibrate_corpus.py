@@ -1,4 +1,4 @@
-"""Sweep corpus-v3 knobs and report ORACLE recalls for PQ/OPQ/LSQ.
+"""Sweep corpus knobs (v3/v4 calibration) and report ORACLE recalls for PQ/OPQ/LSQ.
 
 Oracle recall (exact f64 distance-to-reconstruction ranking) is the
 information-theoretic ceiling of any ADC scan for a fixed encoding, and

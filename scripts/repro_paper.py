@@ -63,6 +63,11 @@ def main():
     ap.add_argument("--sr-scale", type=float, default=1.0,
                     help="multiplier on the SR noise std")
     ap.add_argument("--out", default="recall_table.json")
+    ap.add_argument("--corpus-cache", default=None,
+                    help="npz path caching the synthetic corpus (the "
+                         "deterministic generator makes this sound; at "
+                         "paper scale generation + exact gt is ~10+ min "
+                         "of CPU per run)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -95,12 +100,24 @@ def main():
         print(f"[repro] {args.dataset} files NOT on disk — falling back to a "
               "d=128 SIFT-statistics synthetic corpus; ordering assertion "
               "still applies, absolute recalls are not the paper's.")
-        dd = synthetic_dataset(
-            args.seed, d=128, n_train=args.ntrain,
-            n_base=min(args.nbase, 1_000_000),
-            n_query=min(args.nquery, 10_000),
-        )
-        x_train, x_base, x_query, gt = dd.train, dd.base, dd.query, dd.gt
+        import os
+        if args.corpus_cache and os.path.exists(args.corpus_cache):
+            print(f"[repro] corpus cache hit: {args.corpus_cache}")
+            z = np.load(args.corpus_cache)
+            x_train, x_base, x_query, gt = (
+                z["train"], z["base"], z["query"], z["gt"],
+            )
+        else:
+            dd = synthetic_dataset(
+                args.seed, d=128, n_train=args.ntrain,
+                n_base=min(args.nbase, 1_000_000),
+                n_query=min(args.nquery, 10_000),
+            )
+            x_train, x_base, x_query, gt = dd.train, dd.base, dd.query, dd.gt
+            if args.corpus_cache:
+                np.savez(args.corpus_cache, train=x_train, base=x_base,
+                         query=x_query, gt=gt)
+                print(f"[repro] corpus cached: {args.corpus_cache}")
     else:
         x_train = read_dataset(args.dataset, args.ntrain).astype(np.float32)
         x_base = read_dataset(args.dataset + "_base", args.nbase).astype(np.float32)

@@ -1,7 +1,7 @@
 """Golden end-to-end recall gates (VERDICT r2 item 2).
 
 Pins recall@{1,10,100} for PQ, OPQ, and LSQ-8/LSQ-16 on the deterministic
-SIFT-statistics corpus (utils/synth.py v3) at a CI-scale config. The
+SIFT-statistics corpus (utils/synth.py v4) at a CI-scale config. The
 reference has no tests at all (SURVEY.md §4); its quality contract is "the
 demos reproduce the papers' numbers" (/root/reference/README.md:171-177).
 These gates are the CI-sized version of that contract: a quality
@@ -45,16 +45,19 @@ BAND = 0.03  # absolute recall tolerance (see module docstring)
 # (8 virtual CPU devices — the host threadpool split shifts fp reduction
 # orders enough to move small-sample recall by ~0.03 vs a 1-device run,
 # which is exactly what the band absorbs).
-# Re-pinned for the corpus-v3 calibration (utils/synth.py: 3x within-
-# cluster spread, concentrated norms, alpha=0.8 planted queries — see the
-# synth.py module docstring and scripts/calibrate_corpus.py). Absolute
-# recalls at this 15k-base CI scale now sit in a band comparable to the
-# papers' SIFT1M curves instead of the old 4x-too-hard corpus.
+# Re-pinned for the corpus-v4 calibration (utils/synth.py: per-cluster
+# direction banks basis_mix=0.4 + 1.8x the v3 spread — see the synth.py
+# module docstring and scripts/calibrate_corpus.py). Absolute recalls at
+# this 15k-base CI scale sit in a band comparable to the papers' SIFT1M
+# curves. NOTE these pins are regression gates, not an ordering
+# assertion: at this tiny train set (3k vectors, h=64) OPQ edges LSQ;
+# the LSQ > OPQ > PQ paper ordering is asserted at paper scale by
+# scripts/repro_paper.py, where it holds with margin.
 GOLDEN = {
-    "PQ": {1: 0.296, 10: 0.748, 100: 0.992},
-    "OPQ": {1: 0.364, 10: 0.872, 100: 1.0},
-    "LSQ-8": {1: 0.336, 10: 0.888, 100: 1.0},
-    "LSQ-16": {1: 0.344, 10: 0.892, 100: 1.0},
+    "PQ": {1: 0.264, 10: 0.776, 100: 0.988},
+    "OPQ": {1: 0.344, 10: 0.824, 100: 0.996},
+    "LSQ-8": {1: 0.272, 10: 0.816, 100: 0.992},
+    "LSQ-16": {1: 0.276, 10: 0.804, 100: 0.996},
 }
 
 
