@@ -69,6 +69,12 @@ def main():
                          "paper scale generation + exact gt is ~10+ min "
                          "of CPU per run)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--scan-mode", default=None, choices=["matmul", "gather"],
+                    help="query-scan distance mode; default matmul (MXU). "
+                         "Use gather on CPU: the matmul scan is ~3.6e16 "
+                         "FLOP at paper scale, infeasible off-TPU, while "
+                         "the gather path is the exact C++-scanner "
+                         "transcription (~8e10 lookups)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -94,6 +100,7 @@ def main():
     )
 
     h = args.h
+    scan_kw = {"mode": args.scan_mode} if args.scan_mode else {}
     milestones = tuple(int(x) for x in args.milestones.split(","))
     synthetic = not (args.dataset != "synthetic" and dataset_available(args.dataset))
     if synthetic:
@@ -141,7 +148,7 @@ def main():
         PQConfig(m=8, h=h, kmeans_maxiter=max(25, args.niter), seed=args.seed),
     )
     Bb = np.asarray(quantize_pq(x_base, pq.C_sub))
-    res = adc.linscan_pq(Bb, x_query, pq.C_sub, k=args.knn)
+    res = adc.linscan_pq(Bb, x_query, pq.C_sub, k=args.knn, **scan_kw)
     table["methods"]["PQ"] = {
         "train_mse": float(pq.error), "recall": recall_at(gt, np.asarray(res.ids)),
         "wall_s": round(time.time() - t, 1),
@@ -155,7 +162,8 @@ def main():
         x_train, OPQConfig(m=8, h=h, niter=args.niter, seed=args.seed)
     )
     Bb = np.asarray(quantize_opq(x_base, opq.R, opq.C_sub))
-    res = adc.linscan_opq(Bb, x_query, opq.C_sub, opq.R, k=args.knn)
+    res = adc.linscan_opq(Bb, x_query, opq.C_sub, opq.R, k=args.knn,
+                          **scan_kw)
     table["methods"]["OPQ"] = {
         "train_mse": float(opq.obj[-1]), "recall": recall_at(gt, np.asarray(res.ids)),
         "wall_s": round(time.time() - t, 1),
@@ -185,7 +193,8 @@ def main():
         B_ms = enc.milestone_B[s]
         bn = np.asarray(norms.quantize_norms(B_ms, lsq.C, lsq.cbnorms))
         dbn = np.asarray(lsq.cbnorms)[bn]
-        res = adc.linscan_lsq(B_ms, x_query, lsq.C, dbn, k=args.knn)
+        res = adc.linscan_lsq(B_ms, x_query, lsq.C, dbn, k=args.knn,
+                              **scan_kw)
         table["methods"][f"LSQ-{rounds}"] = {
             "train_mse": float(lsq.obj[-1]),
             "base_mse": float(np.mean(enc.milestone_cost[s])),
