@@ -103,8 +103,16 @@ def main():
         qs = queries.reshape(nq, m, sub)
         luts = ((qs[:, :, None, :] - centers[None, :, :, :]) ** 2).sum(
             -1, dtype=np.float32)  # [nq, m, h]
-        od, oi = native.linscan(luts, codes, None, k)
+        od, oi = native.linscan(luts, codes, None, k, method="heap")
         t_ours = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        qs = queries.reshape(nq, m, sub)
+        luts = ((qs[:, :, None, :] - centers[None, :, :, :]) ** 2).sum(
+            -1, dtype=np.float32)
+        fd, fi = native.linscan(luts, codes, None, k, method="auto")
+        t_fast = time.perf_counter() - t0
+        assert np.array_equal(fd, od) and np.array_equal(fi, oi)
         agree = np.mean([
             len(np.intersect1d(ri[q].astype(np.int64), oi[q])) / k
             for q in range(nq)
@@ -114,7 +122,9 @@ def main():
         results[f"pq_k{k}"] = {
             "ref_qps": round(nq / t_ref, 1),
             "ours_qps": round(nq / t_ours, 1),
+            "ours_fast_qps": round(nq / t_fast, 1),
             "speedup": round(t_ref / t_ours, 2),
+            "speedup_fast": round(t_ref / t_fast, 2),
             "id_agreement": round(float(agree), 5),
         }
         print(json.dumps({f"pq_k{k}": results[f"pq_k{k}"]}), flush=True)
@@ -139,8 +149,16 @@ def main():
         luts = np.ascontiguousarray(
             -2.0 * np.einsum("qd,mhd->qmh", queries, full_cb),
             dtype=np.float32)
-        od, oi = native.linscan(luts, codes, dbnorms, k)
+        od, oi = native.linscan(luts, codes, dbnorms, k, method="heap")
         t_ours = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        luts = np.ascontiguousarray(
+            -2.0 * np.einsum("qd,mhd->qmh", queries, full_cb),
+            dtype=np.float32)
+        fd, fi = native.linscan(luts, codes, dbnorms, k, method="auto")
+        t_fast = time.perf_counter() - t0
+        assert np.array_equal(fd, od) and np.array_equal(fi, oi)
         # Reference ids are ONE-based here (linscan_aqd_pairwise_byte.cpp:76).
         agree = np.mean([
             len(np.intersect1d(ri32[q].astype(np.int64) - 1, oi[q])) / k
@@ -151,7 +169,9 @@ def main():
         results[f"lsq_k{k}"] = {
             "ref_qps": round(nq / t_ref, 1),
             "ours_qps": round(nq / t_ours, 1),
+            "ours_fast_qps": round(nq / t_fast, 1),
             "speedup": round(t_ref / t_ours, 2),
+            "speedup_fast": round(t_ref / t_fast, 2),
             "id_agreement": round(float(agree), 5),
         }
         print(json.dumps({f"lsq_k{k}": results[f"lsq_k{k}"]}), flush=True)

@@ -339,6 +339,36 @@ def _run_scan(
             np.take_along_axis(d_all, order, axis=1),
             np.take_along_axis(i_all, order, axis=1),
         )
+    if topk_method == "native" or topk_method == "auto":
+        # Host C++ scanner (AVX-512 VBMI in-register tables when built with
+        # it): the CPU-serving path, exact and far faster than any XLA-CPU
+        # scan. Auto-routes when not on TPU, the library is built, and the
+        # codes are byte-range (reference analog: the OpenMP scanners,
+        # linscan_aqd.cpp:37-102).
+        from local_search_quantization_tpu.utils import native as _nat
+
+        native_ok = (
+            _nat.available()
+            and B.shape[1] <= 32
+            and (B.size == 0 or (B.min() >= 0 and B.max() < 256))
+        )
+        if topk_method == "native":
+            if not native_ok:
+                raise ValueError(
+                    "topk_method='native' needs the native library "
+                    "(make -C native) and codes in [0, 256)"
+                )
+        elif jax.default_backend() != "tpu" and native_ok:
+            topk_method = "native"
+        if topk_method == "native":
+            luts = np.asarray(luts_fn(jnp.asarray(Q)), np.float32)
+            d, i = _nat.linscan(
+                luts,
+                B.astype(np.uint8),
+                None if extra is None else np.asarray(extra, np.float32),
+                k,
+            )
+            return KNNResult(d, i)
     if topk_method == "auto":
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and k <= 10240 and 4 * k < n:

@@ -47,6 +47,9 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
         ]
+        if hasattr(lib, "lsq_linscan_fast"):
+            lib.lsq_linscan_fast.restype = ctypes.c_int
+            lib.lsq_linscan_fast.argtypes = lib.lsq_linscan.argtypes
         lib.lsq_vecs_read.restype = ctypes.c_int64
         lib.lsq_vecs_read.argtypes = [
             ctypes.c_char_p,
@@ -66,8 +69,15 @@ def available() -> bool:
     return _load() is not None
 
 
-def linscan(luts: np.ndarray, codes: np.ndarray, extra: np.ndarray | None, k: int):
+def linscan(luts: np.ndarray, codes: np.ndarray, extra: np.ndarray | None,
+            k: int, method: str = "auto"):
     """Native ADC scan. luts [nq, m, h] f32, codes [n, m] uint8.
+
+    method: "auto" uses the AVX-512 VBMI in-register-table scanner
+    (lsq_linscan_fast) when the library was built with it, falling back to
+    the scalar two-phase scanner; "fast"/"heap" force one path. Both paths
+    return bit-identical results (the fast path's quantized sums are only
+    a pruning lower bound; accepts are exact f32 through the same heap).
 
     Returns (dists [nq, k] f32 ascending, ids [nq, k] int64 0-based).
     """
@@ -85,7 +95,7 @@ def linscan(luts: np.ndarray, codes: np.ndarray, extra: np.ndarray | None, k: in
     extra_arr = (
         np.ascontiguousarray(extra, np.float32) if extra is not None else None
     )
-    rc = lib.lsq_linscan(
+    args = (
         dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -97,6 +107,15 @@ def linscan(luts: np.ndarray, codes: np.ndarray, extra: np.ndarray | None, k: in
         h,
         k,
     )
+    if method not in ("auto", "fast", "heap"):
+        raise ValueError(f"unknown method {method!r}")
+    rc = 2
+    if method in ("auto", "fast") and hasattr(lib, "lsq_linscan_fast"):
+        rc = lib.lsq_linscan_fast(*args)
+        if rc == 2 and method == "fast":
+            raise RuntimeError("lsq_linscan_fast unsupported in this build")
+    if rc == 2:
+        rc = lib.lsq_linscan(*args)
     if rc != 0:
         raise RuntimeError(f"lsq_linscan failed with code {rc}")
     return dists, ids

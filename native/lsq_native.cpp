@@ -16,8 +16,10 @@
 // Build: make -C native     (g++ -O3 -fopenmp -shared)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <queue>
@@ -26,6 +28,11 @@
 
 #ifdef _OPENMP
 #include <omp.h>
+#endif
+
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define LSQ_HAVE_VBMI 1
 #endif
 
 namespace {
@@ -63,6 +70,92 @@ void adc_block(float* buf, const uint8_t* c, const float* lut, int nb,
   }
 }
 
+using HeapVec = std::vector<std::pair<float, int64_t>>;
+
+// Streaming size-k max-heap insert; returns the (possibly tightened)
+// k-th-best threshold. Shared by every scanner so accept order — and
+// therefore tie resolution — is identical across paths.
+inline float heap_insert(HeapVec& heap, int64_t k, float thresh, float d,
+                         int64_t id) {
+  if ((int64_t)heap.size() < k) {
+    heap.emplace_back(d, id);
+    std::push_heap(heap.begin(), heap.end());
+    if ((int64_t)heap.size() == k) return heap.front().first;
+    return thresh;
+  }
+  std::pop_heap(heap.begin(), heap.end());
+  heap.back() = {d, id};
+  std::push_heap(heap.begin(), heap.end());
+  return heap.front().first;
+}
+
+// Append-buffer top-k: the streaming heap's accept set is exactly the
+// lexicographic-(dist, id) top-k (strict `d < thresh` keeps the earliest
+// = smallest-id row among k-th-distance ties), so an append + periodic
+// nth_element computes the SAME result at ~O(1) predictable work per
+// candidate where every heap insert costs ~2 log k unpredictable branches.
+// Used by the SIMD scanner; lsq_linscan keeps the heap as an independent
+// oracle implementation.
+struct TopK {
+  std::vector<std::pair<float, int64_t>> buf;
+  int64_t k = 0;
+  size_t cap = 0;
+  bool use_heap = true;
+  float thresh = std::numeric_limits<float>::infinity();
+  void init(int64_t k_, bool heap_mode) {
+    k = k_;
+    use_heap = heap_mode;
+    cap = (size_t)(2 * k_);
+    buf.reserve((use_heap ? (size_t)k : cap) + 64);
+  }
+  void rebuild() {
+    if (use_heap) return;  // heap mode keeps thresh exact per accept
+    if ((int64_t)buf.size() > k) {
+      std::nth_element(buf.begin(), buf.begin() + (k - 1), buf.end());
+      buf.resize(k);
+    }
+    if ((int64_t)buf.size() == (int64_t)k) thresh = buf[k - 1].first;
+  }
+  inline void add(float d, int64_t id) {
+    if (use_heap) {
+      thresh = heap_insert(buf, k, thresh, d, id);
+      return;
+    }
+    buf.emplace_back(d, id);
+    if (buf.size() >= cap) rebuild();
+  }
+  void finish() {
+    if (use_heap) {
+      std::sort_heap(buf.begin(), buf.end());
+    } else {
+      rebuild();
+      std::sort(buf.begin(), buf.end());
+    }
+  }
+};
+
+// Blocked exact scalar scan of rows [row0, row1) (the original two-phase
+// loop); used whole by lsq_linscan and as prologue/tail by the SIMD path.
+template <typename Fill>
+float scan_range_exact(Fill fill, const float* extra, HeapVec& heap,
+                       float thresh, int64_t k, int64_t row0, int64_t row1,
+                       const uint8_t* codes, const float* lut, int m) {
+  constexpr int BS = 4096;
+  float buf[BS];
+  for (int64_t r0 = row0; r0 < row1; r0 += BS) {
+    const int nb = (int)std::min<int64_t>(BS, row1 - r0);
+    fill(buf, codes + r0 * (int64_t)m, lut, nb, m);
+    if (extra) {
+      const float* e = extra + r0;
+      for (int i = 0; i < nb; ++i) buf[i] += e[i];
+    }
+    for (int i = 0; i < nb; ++i) {
+      if (buf[i] < thresh) thresh = heap_insert(heap, k, thresh, buf[i], r0 + i);
+    }
+  }
+  return thresh;
+}
+
 }  // namespace
 
 extern "C" {
@@ -80,8 +173,6 @@ int lsq_linscan(float* dists, int64_t* ids, const uint8_t* codes,
                 const float* luts, const float* extra, int64_t n, int64_t nq,
                 int m, int h, int k) {
   if (k > n || m <= 0 || h <= 0 || k <= 0) return 1;
-  // 16 KB distance buffer (L1-resident); the codes block streams through L2.
-  constexpr int BS = 4096;
   auto fill = adc_block<0>;
   if (m == 7) fill = adc_block<7>;
   if (m == 8) fill = adc_block<8>;
@@ -91,37 +182,18 @@ int lsq_linscan(float* dists, int64_t* ids, const uint8_t* codes,
 #pragma omp parallel for schedule(dynamic, 1)
   for (int64_t q = 0; q < nq; ++q) {
     const float* lut = luts + q * (int64_t)m * h;
-    float buf[BS];
     // Max-heap of size k over (dist, id): top is the current k-th best.
-    std::vector<std::pair<float, int64_t>> heap;
+    // Phase 2 inside scan_range_exact is a single predictable compare per
+    // row (expected pass count over the db ~ k * (1 + ln(n/k))).
+    HeapVec heap;
     heap.reserve(k + 1);
-    float thresh = std::numeric_limits<float>::infinity();
-    for (int64_t row0 = 0; row0 < n; row0 += BS) {
-      const int nb = (int)std::min<int64_t>(BS, n - row0);
-      fill(buf, codes + row0 * (int64_t)m, lut, nb, m, h);
-      if (extra) {
-        const float* e = extra + row0;
-        for (int i = 0; i < nb; ++i) buf[i] += e[i];
-      }
-      // Phase 2: threshold scan. Expected pass count over the whole db is
-      // ~k * (1 + ln(n/k)) — the heap is cold code; this loop is a single
-      // predictable compare per row.
-      for (int i = 0; i < nb; ++i) {
-        const float d = buf[i];
-        if (d < thresh) {
-          if ((int64_t)heap.size() < k) {
-            heap.emplace_back(d, row0 + i);
-            std::push_heap(heap.begin(), heap.end());
-            if ((int64_t)heap.size() == k) thresh = heap.front().first;
-          } else {
-            std::pop_heap(heap.begin(), heap.end());
-            heap.back() = {d, row0 + i};
-            std::push_heap(heap.begin(), heap.end());
-            thresh = heap.front().first;
-          }
-        }
-      }
-    }
+    float thresh = scan_range_exact(
+        [&](float* b, const uint8_t* c, const float* l, int nb, int mm) {
+          fill(b, c, l, nb, mm, h);
+        },
+        extra, heap, std::numeric_limits<float>::infinity(), k, 0, n, codes,
+        lut, m);
+    (void)thresh;
     std::sort_heap(heap.begin(), heap.end());
     float* dq = dists + q * (int64_t)k;
     int64_t* iq = ids + q * (int64_t)k;
@@ -131,6 +203,220 @@ int lsq_linscan(float* dists, int64_t* ids, const uint8_t* codes,
     }
   }
   return 0;
+}
+
+// SIMD ADC scan (AVX-512 VBMI): same contract and BIT-IDENTICAL results as
+// lsq_linscan, ~an order of magnitude past its L1-load-port bound.
+//
+// The scalar scanner's phase-1 fill is bound by L1 load throughput (2
+// lookups/cycle); hardware gathers retire at the same port limit. This
+// entry breaks the wall by moving the lookup tables INTO REGISTERS: each
+// per-query LUT row is floor-quantized to u8 (shared global scale s =
+// 255 / max per-(query,codebook) span), so a 256-entry lookup for 64 rows
+// is two vpermt2b (128-byte in-register tables) + a sign-bit blend — ~10+
+// lookups/cycle. The u16 sum of quantized entries (+ the once-quantized
+// norm term) is a certified LOWER BOUND on the true distance: a row is
+// pruned only when even its lower bound cannot beat the current k-th-best
+// threshold, and every surviving candidate is re-checked in exact f32
+// through the same heap_insert as the scalar path — identical accept
+// sequence, identical ties, identical output. (Same exact-filter shape as
+// the TPU select kernel's warm-start threshold, ops/select_pallas.py.)
+//
+// Returns 0 on success, 1 on bad args, 2 when compiled without AVX-512
+// VBMI or m > 32 (caller falls back to lsq_linscan).
+int lsq_linscan_fast(float* dists, int64_t* ids, const uint8_t* codes,
+                     const float* luts, const float* extra, int64_t n,
+                     int64_t nq, int m, int h, int k) {
+#ifndef LSQ_HAVE_VBMI
+  (void)dists; (void)ids; (void)codes; (void)luts; (void)extra;
+  (void)n; (void)nq; (void)m; (void)h; (void)k;
+  return 2;
+#else
+  if (k > n || m <= 0 || h <= 0 || k <= 0) return 1;
+  if (m > 32) return 2;  // u16 accumulator headroom (255*m + norm term)
+  const int hc = h < 256 ? h : 256;  // uint8 codes reach at most entry 255
+
+  auto fill = adc_block<0>;
+  if (m == 7) fill = adc_block<7>;
+  if (m == 8) fill = adc_block<8>;
+  if (m == 15) fill = adc_block<15>;
+  if (m == 16) fill = adc_block<16>;
+
+  // Candidate-set maintenance: the streaming heap tightens the pruning
+  // threshold after EVERY accept (tightest SIMD band — wins at small k,
+  // where inserts are rare and cheap); the append buffer + periodic
+  // nth_element costs ~O(1) predictable work per candidate (wins at large
+  // k, where ~k ln(n/k) heap inserts of ~2 log k mispredicted branches
+  // dominate). Both produce the lexicographic-(dist, id) top-k exactly.
+  bool heap_mode = k <= 256;
+  if (const char* e = std::getenv("LSQ_NATIVE_TOPK")) {
+    if (std::strcmp(e, "heap") == 0) heap_mode = true;
+    if (std::strcmp(e, "buf") == 0) heap_mode = false;
+  }
+
+  // One u8 step = (max LUT span over all queries AND codebooks) / 255,
+  // shared by every query so the db-norm term quantizes ONCE for the call.
+  std::vector<float> lut_min((size_t)nq * m);
+  double max_span = 0.0;
+  for (int64_t qj = 0; qj < nq * (int64_t)m; ++qj) {
+    const float* l = luts + qj * (int64_t)h;
+    float lo = l[0], hi = l[0];
+    for (int v = 1; v < hc; ++v) {
+      lo = std::min(lo, l[v]);
+      hi = std::max(hi, l[v]);
+    }
+    lut_min[qj] = lo;
+    max_span = std::max(max_span, (double)hi - (double)lo);
+  }
+  const double s = max_span > 0 ? 255.0 / max_span : 0.0;
+
+  // Column-major code planes: the 64 consecutive rows of one codebook are
+  // one contiguous zmm load (the TPU path stores codes [m, n] for the same
+  // reason — see ops/adc.py).
+  const int64_t n64 = (n + 63) & ~int64_t{63};
+  std::vector<uint8_t> codesT((size_t)m * n64, 0);
+  for (int64_t i = 0; i < n; ++i)
+    for (int j = 0; j < m; ++j) codesT[(size_t)j * n64 + i] = codes[i * m + j];
+
+  // Norm term, floor-quantized once (query-independent); the cap keeps the
+  // u16 sum overflow-free and, like floor, only LOWERS the bound.
+  float emin = 0.f;
+  std::vector<uint16_t> eq;
+  if (extra) {
+    emin = extra[0];
+    for (int64_t i = 1; i < n; ++i) emin = std::min(emin, extra[i]);
+    const double cap = 65535.0 - 255.0 * m;
+    eq.resize((size_t)n64, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      double v = ((double)extra[i] - (double)emin) * s;
+      eq[i] = (uint16_t)(v <= 0 ? 0 : (v >= cap ? cap : v));
+    }
+  }
+
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t q = 0; q < nq; ++q) {
+    const float* lut = luts + q * (int64_t)m * h;
+    alignas(64) uint8_t tbl[32][256];
+    double offq = extra ? (double)emin : 0.0;
+    for (int j = 0; j < m; ++j) {
+      const float mn = lut_min[q * m + j];
+      offq += (double)mn;
+      for (int v = 0; v < hc; ++v) {
+        const double t = ((double)lut[(int64_t)j * h + v] - (double)mn) * s;
+        tbl[j][v] = (uint8_t)(t >= 255.0 ? 255 : (t <= 0 ? 0 : (int)t));
+      }
+      for (int v = hc; v < 256; ++v) tbl[j][v] = 255;
+    }
+
+    TopK tk;
+    tk.init(k, heap_mode);
+    auto scan_exact = [&](int64_t row0, int64_t row1) {
+      constexpr int BS = 4096;
+      float buf[BS];
+      for (int64_t r0 = row0; r0 < row1; r0 += BS) {
+        const int nb = (int)std::min<int64_t>(BS, row1 - r0);
+        fill(buf, codes + r0 * (int64_t)m, lut, nb, m, h);
+        if (extra) {
+          const float* e = extra + r0;
+          for (int i = 0; i < nb; ++i) buf[i] += e[i];
+        }
+        for (int i = 0; i < nb; ++i)
+          if (buf[i] < tk.thresh) tk.add(buf[i], r0 + i);
+      }
+    };
+    // Prologue: exact scan until the buffer holds k rows (every one of the
+    // first k rows is accepted regardless — pruning can't start before
+    // then); the rebuild sets the pruning threshold.
+    const int64_t ka = std::min<int64_t>(n, (k + 63) & ~int64_t{63});
+    scan_exact(0, ka);
+    tk.rebuild();
+
+    const int64_t nfull = ka + ((n - ka) & ~int64_t{63});
+    for (int64_t r = ka; r < nfull; r += 64) {
+      // Quantized threshold for this chunk. +m+2 absorbs the double-
+      // rounding slop of the m+1 floor quantizations, so sum < tq is
+      // implied by d < thresh — pruning is provably safe; the handful of
+      // extra candidates inside the slop band are exact-filtered below.
+      const double td = ((double)tk.thresh - offq) * s;
+      bool take_all = false;
+      uint32_t tq = 0;
+      if (!(td > 0)) {
+        continue;  // thresh <= offq: no row in the db can beat it
+      } else if (td >= 65532.0 - m) {
+        take_all = true;  // threshold beyond u16 range: compare proves nothing
+      } else {
+        tq = (uint32_t)td + (uint32_t)m + 2;
+      }
+
+      __m512i sum_lo, sum_hi;
+      if (extra) {
+        sum_lo = _mm512_loadu_si512((const void*)(eq.data() + r));
+        sum_hi = _mm512_loadu_si512((const void*)(eq.data() + r + 32));
+      } else {
+        sum_lo = _mm512_setzero_si512();
+        sum_hi = _mm512_setzero_si512();
+      }
+      for (int j = 0; j < m; ++j) {
+        const __m512i t0 = _mm512_load_si512((const void*)tbl[j]);
+        const __m512i t1 = _mm512_load_si512((const void*)(tbl[j] + 64));
+        const __m512i t2 = _mm512_load_si512((const void*)(tbl[j] + 128));
+        const __m512i t3 = _mm512_load_si512((const void*)(tbl[j] + 192));
+        const __m512i idx = _mm512_loadu_si512(
+            (const void*)(codesT.data() + (size_t)j * n64 + r));
+        const __m512i rlo = _mm512_permutex2var_epi8(t0, idx, t1);
+        const __m512i rhi = _mm512_permutex2var_epi8(t2, idx, t3);
+        const __mmask64 top = _mm512_movepi8_mask(idx);  // code bit 7
+        const __m512i res = _mm512_mask_blend_epi8(top, rlo, rhi);
+        sum_lo = _mm512_add_epi16(
+            sum_lo, _mm512_cvtepu8_epi16(_mm512_castsi512_si256(res)));
+        sum_hi = _mm512_add_epi16(
+            sum_hi,
+            _mm512_cvtepu8_epi16(_mm512_extracti64x4_epi64(res, 1)));
+      }
+      uint32_t mlo, mhi;
+      if (take_all) {
+        mlo = mhi = 0xFFFFFFFFu;
+      } else {
+        const __m512i tqv = _mm512_set1_epi16((short)(uint16_t)tq);
+        mlo = (uint32_t)_mm512_cmplt_epu16_mask(sum_lo, tqv);
+        mhi = (uint32_t)_mm512_cmplt_epu16_mask(sum_hi, tqv);
+      }
+      // Candidates in ascending row order (lo half, then hi) so the heap
+      // evolves exactly as the scalar scan's.
+      while (mlo | mhi) {
+        int64_t row;
+        if (mlo) {
+          row = r + __builtin_ctz(mlo);
+          mlo &= mlo - 1;
+        } else {
+          row = r + 32 + __builtin_ctz(mhi);
+          mhi &= mhi - 1;
+        }
+        // Exact re-check reads the TRANSPOSED planes — this chunk's bytes
+        // were just loaded into zmm, so they are L1-hot, where the
+        // row-major codes would be a cold cache miss per sparse candidate.
+        // FP addition order matches adc_block (LUT terms ascending, THEN
+        // the norm term): distances are bit-identical to the scalar path.
+        float d = 0.f;
+        for (int j = 0; j < m; ++j)
+          d += lut[(int64_t)j * h + codesT[(size_t)j * n64 + row]];
+        if (extra) d += extra[row];
+        if (d < tk.thresh) tk.add(d, row);
+      }
+    }
+    // Tail rows past the last full 64-chunk: exact scalar.
+    scan_exact(nfull, n);
+
+    tk.finish();
+    float* dq = dists + q * (int64_t)k;
+    int64_t* iq = ids + q * (int64_t)k;
+    for (int j = 0; j < k; ++j) {
+      dq[j] = tk.buf[j].first;
+      iq[j] = tk.buf[j].second;
+    }
+  }
+  return 0;
+#endif
 }
 
 // Bulk TEXMEX reader. Each record: int32 dim header + dim * scalar_bytes.

@@ -48,6 +48,74 @@ def test_native_linscan_no_extra(rng):
         np.testing.assert_allclose(np.sort(nd[q]), np.sort(d[order]), rtol=1e-5)
 
 
+def _fast_supported():
+    """True when the library was built with AVX-512 VBMI."""
+    import ctypes
+
+    lib = native._load()
+    if lib is None or not hasattr(lib, "lsq_linscan_fast"):
+        return False
+    d = np.zeros((1, 1), np.float32)
+    i = np.zeros((1, 1), np.int64)
+    c = np.zeros((1, 1), np.uint8)
+    lut = np.zeros((1, 1, 2), np.float32)
+    rc = lib.lsq_linscan_fast(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        None, 1, 1, 1, 2, 1,
+    )
+    return rc == 0
+
+
+@pytest.mark.parametrize(
+    "n,nq,m,h,k,use_extra,ties",
+    [
+        (10_000, 4, 7, 256, 100, True, False),
+        (10_000, 4, 8, 256, 1000, False, True),   # duplicated rows: exact ties
+        (5_000, 3, 15, 256, 999, True, False),
+        (300, 3, 8, 20, 300, False, False),        # k == n, h < 256
+        (100, 2, 3, 64, 7, True, False),
+        (65, 2, 8, 256, 64, False, False),         # single SIMD chunk
+        (4_000, 2, 16, 256, 1, True, False),       # k = 1
+    ],
+)
+def test_native_fast_bitwise_parity(rng, n, nq, m, h, k, use_extra, ties):
+    """The AVX-512 VBMI scanner must return BIT-IDENTICAL (dists, ids) to
+    the scalar heap scanner: its quantized u16 sums are only a pruning
+    lower bound; accepts re-check in exact f32 with the same tie rules
+    (lexicographic (dist, id) top-k)."""
+    if not _fast_supported():
+        pytest.skip("library built without AVX-512 VBMI")
+    codes = rng.integers(0, h, size=(n, m)).astype(np.uint8)
+    if ties:
+        codes[n // 2:] = codes[: n - n // 2]
+    luts = (rng.normal(size=(nq, m, h)) * 10).astype(np.float32)
+    extra = (
+        (rng.normal(size=n).astype(np.float32) ** 2) * 5 if use_extra else None
+    )
+    d1, i1 = native.linscan(luts, codes, extra, k, method="heap")
+    d2, i2 = native.linscan(luts, codes, extra, k, method="fast")
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_native_fast_constant_luts(rng):
+    """Degenerate all-equal LUTs (zero span) must not divide by zero and
+    still produce the lexicographic top-k (= first k row ids)."""
+    if not _fast_supported():
+        pytest.skip("library built without AVX-512 VBMI")
+    n, nq, m, h, k = 500, 2, 4, 16, 10
+    codes = rng.integers(0, h, size=(n, m)).astype(np.uint8)
+    luts = np.full((nq, m, h), 3.25, np.float32)
+    d1, i1 = native.linscan(luts, codes, None, k, method="heap")
+    d2, i2 = native.linscan(luts, codes, None, k, method="fast")
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(i2[0], np.arange(k))
+
+
 def test_native_vecs_read_roundtrip(tmp_path, rng):
     # Write an fvecs file, read through both paths.
     n, d = 57, 9
