@@ -339,11 +339,14 @@ def _run_scan(
             np.take_along_axis(d_all, order, axis=1),
             np.take_along_axis(i_all, order, axis=1),
         )
-    if topk_method == "native" or topk_method == "auto":
+    if topk_method == "native" or (
+        topk_method == "auto" and jax.default_backend() != "tpu"
+    ):
         # Host C++ scanner (AVX-512 VBMI in-register tables when built with
         # it): the CPU-serving path, exact and far faster than any XLA-CPU
         # scan. Auto-routes when not on TPU, the library is built, and the
-        # codes are byte-range (reference analog: the OpenMP scanners,
+        # codes are byte-range; the range scan is skipped entirely on the
+        # TPU route (reference analog: the OpenMP scanners,
         # linscan_aqd.cpp:37-102).
         from local_search_quantization_tpu.utils import native as _nat
 
@@ -358,7 +361,7 @@ def _run_scan(
                     "topk_method='native' needs the native library "
                     "(make -C native) and codes in [0, 256)"
                 )
-        elif jax.default_backend() != "tpu" and native_ok:
+        elif native_ok:
             topk_method = "native"
         if topk_method == "native":
             luts = np.asarray(luts_fn(jnp.asarray(Q)), np.float32)
