@@ -39,11 +39,12 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    x_train, x_base, x_query, gt = load_data(args)
     m, h = args.m, args.h
+    opq_cfg = OPQConfig(m=m, h=h, niter=args.niter)  # validate before load
+    x_train, x_base, x_query, gt = load_data(args)
 
     t = time.time()
-    opq = train_opq(x_train, OPQConfig(m=m, h=h, niter=args.niter))
+    opq = train_opq(x_train, opq_cfg)
     print(f"Error after OPQ is {float(opq.obj[-1]):e}  ({time.time()-t:.1f}s)")
 
     t = time.time()

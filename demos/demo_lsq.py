@@ -74,10 +74,10 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    x_train, x_base, x_query, gt = load_data(args)
     m, h = args.m, args.h
     lsq_cfg = LSQConfig(m=m, h=h, niter=args.niter, seed=args.seed,
-                        sr_method=args.sr)
+                        sr_method=args.sr)  # validate args before the data load
+    x_train, x_base, x_query, gt = load_data(args)
 
     if args.load_model:
         lsq = load_model(args.load_model)

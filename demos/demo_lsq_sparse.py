@@ -38,12 +38,13 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    pq_cfg = PQConfig(m=args.m, h=args.h)  # validate args before the data load
     args.nbase, args.nquery = 1000, 100  # loader needs something
     x_train, *_ = load_data(args)
     d = x_train.shape[1]
 
     t = time.time()
-    pq = train_pq(x_train, PQConfig(m=args.m, h=args.h))
+    pq = train_pq(x_train, pq_cfg)
     print(f"PQ init error {float(pq.error):e}  ({time.time()-t:.1f}s)")
 
     if args.variant == "SLSQ1":

@@ -37,12 +37,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    cfg = OPQConfig(m=args.m, h=args.h, niter=args.niter, init="natural")
     x_train, x_base, x_query, gt = load_data(args)
 
     t = time.time()
-    model = train_opq(
-        x_train, OPQConfig(m=args.m, h=args.h, niter=args.niter, init="natural")
-    )
+    model = train_opq(x_train, cfg)
     print(f"Error in training is {float(model.obj[-1]):e}  ({time.time()-t:.1f}s)")
 
     t = time.time()

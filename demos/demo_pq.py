@@ -60,8 +60,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    cfg = PQConfig(m=args.m, h=args.h)  # validate args before the data load
     x_train, x_base, x_query, gt = load_data(args)
-    cfg = PQConfig(m=args.m, h=args.h)
 
     t = time.time()
     model = train_pq(x_train, cfg)

@@ -110,8 +110,9 @@ def linscan(luts: np.ndarray, codes: np.ndarray, extra: np.ndarray | None,
     if method not in ("auto", "fast", "heap"):
         raise ValueError(f"unknown method {method!r}")
     rc = 2
-    if method in ("auto", "fast") and hasattr(lib, "lsq_linscan_fast"):
-        rc = lib.lsq_linscan_fast(*args)
+    if method in ("auto", "fast"):
+        if hasattr(lib, "lsq_linscan_fast"):
+            rc = lib.lsq_linscan_fast(*args)
         if rc == 2 and method == "fast":
             raise RuntimeError("lsq_linscan_fast unsupported in this build")
     if rc == 2:
