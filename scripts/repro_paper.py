@@ -62,6 +62,10 @@ def main():
                          "reference)")
     ap.add_argument("--sr-scale", type=float, default=1.0,
                     help="multiplier on the SR noise std")
+    ap.add_argument("--with-chainq", action="store_true",
+                    help="also report ChainQ (m=7 + norm byte, Viterbi "
+                         "base encode) as its own method row; the "
+                         "reference uses ChainQ only as LSQ's initializer")
     ap.add_argument("--out", default="recall_table.json")
     ap.add_argument("--corpus-cache", default=None,
                     help="npz path caching the synthetic corpus (the "
@@ -180,6 +184,29 @@ def main():
     chain = train_chainq(
         x_train, opq7.B, opq7.R, ChainQConfig(m=m_lsq, h=h, niter=args.niter)
     )
+    if args.with_chainq:
+        # ChainQ as its own 64-bit method (beyond the reference, which only
+        # uses it as LSQ's initializer): Viterbi-exact base encode in the
+        # rotated space + norm byte, queried through the additive scanner.
+        from local_search_quantization_tpu.ops import viterbi
+
+        t_cq = time.time()
+        RXb = np.asarray(x_base, np.float32) @ np.asarray(chain.R)
+        B_cq = np.asarray(viterbi.viterbi_encode(RXb, chain.C))
+        key_cq = jax.random.PRNGKey(args.seed + 2)
+        cbn_cq, _ = norms.train_norm_codebook(key_cq, B_cq[:100_000], chain.C, h)
+        bn_cq = np.asarray(norms.quantize_norms(B_cq, chain.C, cbn_cq))
+        res = adc.linscan_lsq(B_cq, x_query, chain.C,
+                              np.asarray(cbn_cq)[bn_cq], k=args.knn,
+                              R=np.asarray(chain.R), **scan_kw)
+        table["methods"]["ChainQ"] = {
+            "train_mse": float(chain.obj[-1]),
+            "recall": recall_at(gt, np.asarray(res.ids)),
+            "wall_s": round(time.time() - t_cq, 1),
+        }
+        print(f"[repro] ChainQ done ({table['methods']['ChainQ']['wall_s']}s): "
+              f"{table['methods']['ChainQ']['recall']}")
+
     lsq_cfg = LSQConfig(m=m_lsq, h=h, niter=args.niter, seed=args.seed,
                         sr_method=args.sr, sr_scale=args.sr_scale)
     lsq = train_lsq(x_train, chain.B, chain.R, lsq_cfg, verbose=True)

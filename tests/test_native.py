@@ -116,6 +116,38 @@ def test_native_fast_constant_luts(rng):
     np.testing.assert_array_equal(i2[0], np.arange(k))
 
 
+class _NoFastProxy:
+    """Wraps the loaded library pretending lsq_linscan_fast was not built."""
+
+    def __init__(self, lib):
+        self._lib = lib
+
+    def __getattr__(self, name):
+        if name == "lsq_linscan_fast":
+            raise AttributeError(name)
+        return getattr(self._lib, name)
+
+
+def test_native_method_routing_without_fast(rng, monkeypatch):
+    """On a build lacking the VBMI entry point, method="fast" must raise
+    (not silently fall through to the scalar scanner) and method="auto"
+    must fall back to the scalar path, agreeing with "heap"."""
+    lib = native._load()
+    monkeypatch.setattr(native, "_LIB", _NoFastProxy(lib))
+    monkeypatch.setattr(native, "_TRIED", True)
+    n, nq, m, h, k = 400, 3, 4, 16, 11
+    codes = rng.integers(0, h, size=(n, m)).astype(np.uint8)
+    luts = rng.normal(size=(nq, m, h)).astype(np.float32)
+    with pytest.raises(RuntimeError, match="unsupported"):
+        native.linscan(luts, codes, None, k, method="fast")
+    d1, i1 = native.linscan(luts, codes, None, k, method="auto")
+    d2, i2 = native.linscan(luts, codes, None, k, method="heap")
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+    with pytest.raises(ValueError, match="unknown method"):
+        native.linscan(luts, codes, None, k, method="bogus")
+
+
 def test_native_vecs_read_roundtrip(tmp_path, rng):
     # Write an fvecs file, read through both paths.
     n, d = 57, 9
