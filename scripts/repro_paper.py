@@ -66,6 +66,12 @@ def main():
                     help="also report ChainQ (m=7 + norm byte, Viterbi "
                          "base encode) as its own method row; the "
                          "reference uses ChainQ only as LSQ's initializer")
+    ap.add_argument("--stage-cache", default=None,
+                    help="directory caching each trained model and the LSQ "
+                         "base codes, so an interrupted run (e.g. a TPU-"
+                         "backend outage mid-pipeline) resumes at the next "
+                         "stage instead of from scratch; a manifest pins "
+                         "the config and mismatches are refused")
     ap.add_argument("--out", default="recall_table.json")
     ap.add_argument("--corpus-cache", default=None,
                     help="npz path caching the synthetic corpus (the "
@@ -142,15 +148,50 @@ def main():
         "methods": {},
     }
 
+    # --- Stage cache: resume an interrupted pipeline at stage granularity.
+    import os
+
+    from local_search_quantization_tpu.utils import checkpoint as ckpt
+
+    cache = args.stage_cache
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        manifest = {k: getattr(args, k) for k in (
+            "dataset", "ntrain", "nbase", "nquery", "niter", "h", "seed",
+            "sr", "sr_scale", "milestones")}
+        man_path = os.path.join(cache, "manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                old = json.load(f)
+            if old != manifest:
+                raise SystemExit(
+                    f"[repro] stage-cache config mismatch in {man_path}: "
+                    f"cached {old}, requested {manifest} — use a fresh dir")
+        else:
+            with open(man_path, "w") as f:
+                json.dump(manifest, f)
+
+    def _cached_model(name, train_fn):
+        """Train-or-load one model stage through the stage cache."""
+        if not cache:
+            return train_fn()
+        p = os.path.join(cache, name + ".npz")
+        if os.path.exists(p):
+            print(f"[repro] stage-cache hit: {name}")
+            return ckpt.load_model(p)
+        model = train_fn()
+        ckpt.save_model(p, model)
+        return model
+
     # === PQ m=8 (demos/demo_pq.jl config) ===
     t = time.time()
     # PQ has no outer EM loop — its k-means gets a generous iteration cap
     # (the reference delegates to Clustering.kmeans' own convergence,
     # demo_pq.jl / PQ.jl:59).
-    pq = train_pq(
+    pq = _cached_model("pq", lambda: train_pq(
         x_train,
         PQConfig(m=8, h=h, kmeans_maxiter=max(25, args.niter), seed=args.seed),
-    )
+    ))
     Bb = np.asarray(quantize_pq(x_base, pq.C_sub))
     res = adc.linscan_pq(Bb, x_query, pq.C_sub, k=args.knn, **scan_kw)
     table["methods"]["PQ"] = {
@@ -162,9 +203,9 @@ def main():
 
     # === OPQ m=8 (demos/demo_opq.jl config) ===
     t = time.time()
-    opq = train_opq(
+    opq = _cached_model("opq", lambda: train_opq(
         x_train, OPQConfig(m=8, h=h, niter=args.niter, seed=args.seed)
-    )
+    ))
     Bb = np.asarray(quantize_opq(x_base, opq.R, opq.C_sub))
     res = adc.linscan_opq(Bb, x_query, opq.C_sub, opq.R, k=args.knn,
                           **scan_kw)
@@ -178,12 +219,12 @@ def main():
     # === LSQ m=7 + norm byte (demos/demo_lsq.jl config) ===
     t = time.time()
     m_lsq = 7
-    opq7 = train_opq(
+    opq7 = _cached_model("opq7", lambda: train_opq(
         x_train, OPQConfig(m=m_lsq, h=h, niter=args.niter, seed=args.seed)
-    )
-    chain = train_chainq(
+    ))
+    chain = _cached_model("chainq", lambda: train_chainq(
         x_train, opq7.B, opq7.R, ChainQConfig(m=m_lsq, h=h, niter=args.niter)
-    )
+    ))
     if args.with_chainq:
         # ChainQ as its own 64-bit method (beyond the reference, which only
         # uses it as LSQ's initializer): Viterbi-exact base encode in the
@@ -209,13 +250,31 @@ def main():
 
     lsq_cfg = LSQConfig(m=m_lsq, h=h, niter=args.niter, seed=args.seed,
                         sr_method=args.sr, sr_scale=args.sr_scale)
-    lsq = train_lsq(x_train, chain.B, chain.R, lsq_cfg, verbose=True)
-    B0 = random_codes(args.seed, x_base.shape[0], m_lsq, h)
-    enc = icm.encode_chunked(
-        jax.random.PRNGKey(args.seed + 1), x_base, B0, lsq.C,
-        ilsiter=milestones[-1], icmiter=lsq_cfg.icmiter,
-        npert=lsq_cfg.npert, randord=lsq_cfg.randord, milestones=milestones,
-    )
+    lsq = _cached_model("lsq", lambda: train_lsq(
+        x_train, chain.B, chain.R, lsq_cfg, verbose=True))
+
+    enc_path = os.path.join(cache, "lsq_codes.npz") if cache else None
+    if enc_path and os.path.exists(enc_path):
+        print("[repro] stage-cache hit: lsq base codes")
+        z = ckpt.load_codes(enc_path)
+
+        class _Enc:  # the two fields the milestone loop below reads
+            milestone_B = z["B"]
+            milestone_cost = z["cost"]
+
+        enc = _Enc()
+    else:
+        B0 = random_codes(args.seed, x_base.shape[0], m_lsq, h)
+        enc = icm.encode_chunked(
+            jax.random.PRNGKey(args.seed + 1), x_base, B0, lsq.C,
+            ilsiter=milestones[-1], icmiter=lsq_cfg.icmiter,
+            npert=lsq_cfg.npert, randord=lsq_cfg.randord, milestones=milestones,
+        )
+        if enc_path:
+            ckpt.save_codes(
+                enc_path, np.stack([np.asarray(b) for b in enc.milestone_B]),
+                {"cost": np.stack([np.asarray(c) for c in enc.milestone_cost])},
+            )
     for s, rounds in enumerate(milestones):
         B_ms = enc.milestone_B[s]
         bn = np.asarray(norms.quantize_norms(B_ms, lsq.C, lsq.cbnorms))
