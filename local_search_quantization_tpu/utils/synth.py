@@ -186,6 +186,8 @@ def synthetic_dataset(
 
     def offsets(cids, scale=1.0, rng=rng):
         n = cids.shape[0]
+        if n == 0:  # zero-size draws consume no rng state — safe short-cut
+            return np.zeros((0, d), np.float32)
         z = rng.normal(size=(n, L))
         if Vk is None:
             off = (z * w[cids]) @ V

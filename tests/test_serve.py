@@ -1,0 +1,78 @@
+"""End-to-end build_index.py -> serve.py pipeline (subprocess, CPU).
+
+Covers the production split the reference lacks: build once, serve from a
+long-lived process over a JSON-lines protocol. Parity is asserted against
+a direct in-process adc call on the same index files.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build(tmp_path, method):
+    out = str(tmp_path / f"idx_{method}")
+    subprocess.run(
+        [sys.executable, "scripts/build_index.py", "--method", method,
+         "--out", out, "--dataset", "synthetic", "--synth-d", "16",
+         "--ntrain", "400", "--nbase", "1500", "--m", "2", "--h", "16",
+         "--niter", "2", "--ilsiter", "2", "--platform", "cpu"],
+        cwd=REPO, check=True, capture_output=True, timeout=600,
+    )
+    return out
+
+
+@pytest.mark.parametrize("method", ["pq", "lsq"])
+def test_build_and_serve(tmp_path, method, rng):
+    idx = _build(tmp_path, method)
+    assert {"meta.json", "model.npz", "codes.npz"} <= set(os.listdir(idx))
+
+    p = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--index", idx, "--k", "5",
+         "--platform", "cpu"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=REPO,
+    )
+    try:
+        ready = json.loads(p.stdout.readline())
+        assert ready["ready"] and ready["method"] == method and ready["n"] == 1500
+        q = rng.normal(120, 30, size=(3, 16)).astype(np.float32)
+        p.stdin.write(json.dumps({"id": 1, "vectors": q.tolist()}) + "\n")
+        p.stdin.write(json.dumps({"id": 2, "vectors": [[1.0]]}) + "\n")
+        p.stdin.write(json.dumps({"id": 3, "bad": "req"}) + "\n")
+        p.stdin.write(json.dumps({"id": 4, "vectors": q[:1].tolist(),
+                                  "k": 2}) + "\n")
+        p.stdin.write("EOF\n")
+        p.stdin.flush()
+        r1, r2, r3, r4 = (json.loads(p.stdout.readline()) for _ in range(4))
+    finally:
+        p.stdin.close()
+        assert p.wait(timeout=60) == 0
+
+    assert np.shape(r1["ids"]) == (3, 5)
+    for row in r1["dists"]:
+        assert row == sorted(row)
+    assert "error" in r2 and "error" in r3  # bad requests answered, not fatal
+    assert np.shape(r4["ids"]) == (1, 2)
+
+    # Parity with a direct in-process scan over the same index files.
+    from local_search_quantization_tpu.ops import adc
+    from local_search_quantization_tpu.utils import checkpoint as ckpt
+
+    model = ckpt.load_model(os.path.join(idx, "model.npz"))
+    codes = ckpt.load_codes(os.path.join(idx, "codes.npz"))
+    if method == "lsq":
+        dbn = codes["cbnorms"][codes["bnorm"]].astype(np.float32)
+        res = adc.linscan_lsq(codes["B"], q, model.C, dbn, k=5)
+    else:
+        res = adc.linscan_pq(codes["B"], q, model.C_sub, k=5)
+    np.testing.assert_allclose(
+        np.asarray(r1["dists"], np.float32), np.asarray(res.dists),
+        rtol=1e-5, atol=1e-5)
+    same = (np.asarray(r1["ids"]) == np.asarray(res.ids)).mean()
+    assert same > 0.9  # modulo exact-distance ties

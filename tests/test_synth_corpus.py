@@ -88,6 +88,18 @@ def test_quantization_hardness_band():
     assert 0.05 < ratio < 0.6, ratio
 
 
+def test_tiny_query_counts():
+    """n_query so small that every query is planted (the fresh remainder
+    draw is zero-size) must not crash, and must not perturb the generator
+    state consumed by larger draws (zero-size rng draws are state-free)."""
+    for nq in (1, 2):
+        dd = _data(n_base=500, n_query=nq)
+        assert dd.query.shape[0] == nq and dd.gt.shape[0] == nq
+    big = _data(n_base=500, n_query=50)
+    one = _data(n_base=500, n_query=1)
+    np.testing.assert_array_equal(big.base, one.base)
+
+
 def test_deterministic_given_seed():
     a = _data(n_base=2000, n_query=20)
     b = _data(n_base=2000, n_query=20)
