@@ -58,6 +58,7 @@ GOLDEN = {
     "OPQ": {1: 0.344, 10: 0.824, 100: 0.996},
     "LSQ-8": {1: 0.272, 10: 0.816, 100: 0.992},
     "LSQ-16": {1: 0.276, 10: 0.804, 100: 0.996},
+    "ChainQ": {1: 0.260, 10: 0.760, 100: 1.0},
 }
 
 
@@ -95,6 +96,22 @@ def test_golden_opq(data):
     Bb = np.asarray(quantize_opq(data.base, opq.R, opq.C_sub))
     res = adc.linscan_opq(Bb, data.query, opq.C_sub, opq.R, k=100)
     check("OPQ", recall_at(data.gt, res.ids))
+
+
+def test_golden_chainq(data):
+    from local_search_quantization_tpu.ops import viterbi
+
+    m, h = 7, 64
+    opq7 = train_opq(data.train, OPQConfig(m=m, h=h, niter=6, seed=0))
+    chain = train_chainq(data.train, opq7.B, opq7.R,
+                         ChainQConfig(m=m, h=h, niter=6))
+    RXb = np.asarray(data.base, np.float32) @ np.asarray(chain.R)
+    B = np.asarray(viterbi.viterbi_encode(RXb, chain.C))
+    cbn, _ = norms.train_norm_codebook(jax.random.PRNGKey(2), B, chain.C, h)
+    bn = np.asarray(norms.quantize_norms(B, chain.C, cbn))
+    res = adc.linscan_lsq(B, data.query, chain.C, np.asarray(cbn)[bn],
+                          k=100, R=np.asarray(chain.R))
+    check("ChainQ", recall_at(data.gt, res.ids))
 
 
 def test_golden_lsq_milestones(data):
