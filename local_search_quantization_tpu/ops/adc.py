@@ -350,10 +350,17 @@ def _run_scan(
         # linscan_aqd.cpp:37-102).
         from local_search_quantization_tpu.utils import native as _nat
 
+        B = np.asarray(B)
+        # uint8 codes are range-valid by construction — the min/max scans
+        # (two full passes over n*m elements per CALL) only run for wider
+        # dtypes. Long-lived servers should store codes as uint8
+        # (scripts/serve.py does) so the serving hot path skips them.
         native_ok = (
             _nat.available()
             and B.shape[1] <= 32
-            and (B.size == 0 or (B.min() >= 0 and B.max() < 256))
+            and (B.dtype == np.uint8
+                 or B.size == 0
+                 or (B.min() >= 0 and B.max() < 256))
         )
         if topk_method == "native":
             if not native_ok:
@@ -367,11 +374,14 @@ def _run_scan(
             luts = np.asarray(luts_fn(jnp.asarray(Q)), np.float32)
             d, i = _nat.linscan(
                 luts,
-                B.astype(np.uint8),
+                B if B.dtype == np.uint8 else B.astype(np.uint8),
                 None if extra is None else np.asarray(extra, np.float32),
                 k,
             )
-            return KNNResult(d, i)
+            # KNNResult's documented ids dtype is int32 (same as the TPU
+            # paths); n < 2^31 is guaranteed on this route (uint8 codes,
+            # host memory).
+            return KNNResult(d, i.astype(np.int32))
     if topk_method == "auto":
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and k <= 10240 and 4 * k < n:

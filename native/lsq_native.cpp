@@ -113,8 +113,12 @@ struct TopK {
     if ((int64_t)buf.size() > k) {
       std::nth_element(buf.begin(), buf.begin() + (k - 1), buf.end());
       buf.resize(k);
+      thresh = buf[k - 1].first;  // nth_element left the k-th best there
+    } else if ((int64_t)buf.size() == (int64_t)k) {
+      // Never exceeded k, so buf is UNSORTED: the threshold is the worst
+      // kept element, not whatever sits at slot k-1.
+      thresh = std::max_element(buf.begin(), buf.end())->first;
     }
-    if ((int64_t)buf.size() == (int64_t)k) thresh = buf[k - 1].first;
   }
   inline void add(float d, int64_t id) {
     if (use_heap) {
@@ -134,26 +138,38 @@ struct TopK {
   }
 };
 
+// Streaming-heap sink: thresh tightens after every accept. Kept as the
+// independent oracle candidate-set next to TopK's append-buffer mode.
+struct HeapSink {
+  HeapVec& heap;
+  int64_t k;
+  float thresh = std::numeric_limits<float>::infinity();
+  inline void add(float d, int64_t id) {
+    thresh = heap_insert(heap, k, thresh, d, id);
+  }
+};
+
 // Blocked exact scalar scan of rows [row0, row1) (the original two-phase
-// loop); used whole by lsq_linscan and as prologue/tail by the SIMD path.
-template <typename Fill>
-float scan_range_exact(Fill fill, const float* extra, HeapVec& heap,
-                       float thresh, int64_t k, int64_t row0, int64_t row1,
-                       const uint8_t* codes, const float* lut, int m) {
+// loop): used whole by lsq_linscan (HeapSink) and as prologue/tail by the
+// SIMD path (TopK). Sink needs `.thresh` and `.add(dist, id)`; ONE shared
+// loop keeps the two paths' accept sequences bit-identical by construction.
+template <typename Fill, typename Sink>
+void scan_range_exact(Fill fill, const float* extra, Sink& sink,
+                      int64_t row0, int64_t row1, const uint8_t* codes,
+                      const float* lut, int m, int h) {
   constexpr int BS = 4096;
   float buf[BS];
   for (int64_t r0 = row0; r0 < row1; r0 += BS) {
     const int nb = (int)std::min<int64_t>(BS, row1 - r0);
-    fill(buf, codes + r0 * (int64_t)m, lut, nb, m);
+    fill(buf, codes + r0 * (int64_t)m, lut, nb, m, h);
     if (extra) {
       const float* e = extra + r0;
       for (int i = 0; i < nb; ++i) buf[i] += e[i];
     }
     for (int i = 0; i < nb; ++i) {
-      if (buf[i] < thresh) thresh = heap_insert(heap, k, thresh, buf[i], r0 + i);
+      if (buf[i] < sink.thresh) sink.add(buf[i], r0 + i);
     }
   }
-  return thresh;
 }
 
 }  // namespace
@@ -187,13 +203,8 @@ int lsq_linscan(float* dists, int64_t* ids, const uint8_t* codes,
     // row (expected pass count over the db ~ k * (1 + ln(n/k))).
     HeapVec heap;
     heap.reserve(k + 1);
-    float thresh = scan_range_exact(
-        [&](float* b, const uint8_t* c, const float* l, int nb, int mm) {
-          fill(b, c, l, nb, mm, h);
-        },
-        extra, heap, std::numeric_limits<float>::infinity(), k, 0, n, codes,
-        lut, m);
-    (void)thresh;
+    HeapSink sink{heap, k};
+    scan_range_exact(fill, extra, sink, 0, n, codes, lut, m, h);
     std::sort_heap(heap.begin(), heap.end());
     float* dq = dists + q * (int64_t)k;
     int64_t* iq = ids + q * (int64_t)k;
@@ -310,25 +321,11 @@ int lsq_linscan_fast(float* dists, int64_t* ids, const uint8_t* codes,
 
     TopK tk;
     tk.init(k, heap_mode);
-    auto scan_exact = [&](int64_t row0, int64_t row1) {
-      constexpr int BS = 4096;
-      float buf[BS];
-      for (int64_t r0 = row0; r0 < row1; r0 += BS) {
-        const int nb = (int)std::min<int64_t>(BS, row1 - r0);
-        fill(buf, codes + r0 * (int64_t)m, lut, nb, m, h);
-        if (extra) {
-          const float* e = extra + r0;
-          for (int i = 0; i < nb; ++i) buf[i] += e[i];
-        }
-        for (int i = 0; i < nb; ++i)
-          if (buf[i] < tk.thresh) tk.add(buf[i], r0 + i);
-      }
-    };
     // Prologue: exact scan until the buffer holds k rows (every one of the
     // first k rows is accepted regardless — pruning can't start before
     // then); the rebuild sets the pruning threshold.
     const int64_t ka = std::min<int64_t>(n, (k + 63) & ~int64_t{63});
-    scan_exact(0, ka);
+    scan_range_exact(fill, extra, tk, 0, ka, codes, lut, m, h);
     tk.rebuild();
 
     const int64_t nfull = ka + ((n - ka) & ~int64_t{63});
@@ -340,10 +337,12 @@ int lsq_linscan_fast(float* dists, int64_t* ids, const uint8_t* codes,
       const double td = ((double)tk.thresh - offq) * s;
       bool take_all = false;
       uint32_t tq = 0;
-      if (!(td > 0)) {
-        continue;  // thresh <= offq: no row in the db can beat it
-      } else if (td >= 65532.0 - m) {
-        take_all = true;  // threshold beyond u16 range: compare proves nothing
+      if (!((double)tk.thresh > offq)) {
+        continue;  // thresh <= offq = min possible distance: nothing beats it
+      } else if (s == 0.0 || td >= 65532.0 - m) {
+        // Zero LUT span (s == 0: every quantized sum is 0) or a threshold
+        // beyond the u16 range: the compare proves nothing — keep all rows.
+        take_all = true;
       } else {
         tq = (uint32_t)td + (uint32_t)m + 2;
       }
@@ -405,7 +404,7 @@ int lsq_linscan_fast(float* dists, int64_t* ids, const uint8_t* codes,
       }
     }
     // Tail rows past the last full 64-chunk: exact scalar.
-    scan_exact(nfull, n);
+    scan_range_exact(fill, extra, tk, nfull, n, codes, lut, m, h);
 
     tk.finish();
     float* dq = dists + q * (int64_t)k;

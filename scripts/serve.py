@@ -53,6 +53,14 @@ def main():
     codes = ckpt.load_codes(f"{args.index}/codes.npz")
     B = codes["B"]
     method, d = meta["method"], meta["d"]
+    import jax
+
+    if meta["h"] <= 256 and jax.default_backend() != "tpu":
+        # uint8 codes let the native CPU scanner skip its per-request
+        # range-validation passes over all n*m code entries (ops/adc.py).
+        # TPU serving keeps int32: the device programs are compiled (and
+        # VMEM-budgeted) for the int32 [m, n] layout.
+        B = np.ascontiguousarray(B, np.uint8)
 
     if method in ("lsq", "chainq"):
         db_norms = codes["cbnorms"][codes["bnorm"]].astype(np.float32)
@@ -80,6 +88,7 @@ def main():
         line = line.strip()
         if not line or line == "EOF":
             break
+        req = None  # never attribute errors to the previous request's id
         try:
             req = json.loads(line)
             Q = np.asarray(req["vectors"], np.float32)
@@ -93,11 +102,7 @@ def main():
                    "ids": np.asarray(res.ids).tolist(),
                    "dists": np.asarray(res.dists).tolist()}
         except Exception as e:  # malformed request must not kill the server
-            rid = None
-            try:
-                rid = req.get("id")  # type: ignore[possibly-undefined]
-            except Exception:
-                pass
+            rid = req.get("id") if isinstance(req, dict) else None
             out = {"id": rid, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(out), flush=True)
 

@@ -79,6 +79,10 @@ def _fast_supported():
         (100, 2, 3, 64, 7, True, False),
         (65, 2, 8, 256, 64, False, False),         # single SIMD chunk
         (4_000, 2, 16, 256, 1, True, False),       # k = 1
+        (20_000, 4, 8, 256, 512, True, False),     # buf mode, 64 | k: the
+        # prologue ends with exactly k unsorted rows — the threshold must be
+        # the max over them, not the last row's distance
+        (20_000, 2, 8, 256, 1024, False, False),   # buf mode, 64 | k, no extra
     ],
 )
 def test_native_fast_bitwise_parity(rng, n, nq, m, h, k, use_extra, ties):
@@ -114,6 +118,23 @@ def test_native_fast_constant_luts(rng):
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(i2[0], np.arange(k))
+
+
+def test_native_fast_constant_luts_varying_extra(rng):
+    """Zero LUT span with a VARYING norm term: the quantized scale s is 0,
+    so the u16 compare proves nothing and every chunk must be exact-checked
+    (take_all), not pruned — the ranking lives entirely in `extra`."""
+    if not _fast_supported():
+        pytest.skip("library built without AVX-512 VBMI")
+    n, nq, m, h, k = 5_000, 3, 4, 16, 10
+    codes = rng.integers(0, h, size=(n, m)).astype(np.uint8)
+    luts = np.full((nq, m, h), 1.5, np.float32)
+    extra = (rng.normal(size=n).astype(np.float32) ** 2) * 5
+    d1, i1 = native.linscan(luts, codes, extra, k, method="heap")
+    d2, i2 = native.linscan(luts, codes, extra, k, method="fast")
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(i1[0], np.argsort(extra, kind="stable")[:k])
 
 
 class _NoFastProxy:

@@ -47,9 +47,11 @@ def test_build_and_serve(tmp_path, method, rng):
         p.stdin.write(json.dumps({"id": 3, "bad": "req"}) + "\n")
         p.stdin.write(json.dumps({"id": 4, "vectors": q[:1].tolist(),
                                   "k": 2}) + "\n")
+        p.stdin.write("{{{not json\n")
         p.stdin.write("EOF\n")
         p.stdin.flush()
-        r1, r2, r3, r4 = (json.loads(p.stdout.readline()) for _ in range(4))
+        r1, r2, r3, r4, r5 = (json.loads(p.stdout.readline())
+                              for _ in range(5))
     finally:
         p.stdin.close()
         assert p.wait(timeout=60) == 0
@@ -59,6 +61,8 @@ def test_build_and_serve(tmp_path, method, rng):
         assert row == sorted(row)
     assert "error" in r2 and "error" in r3  # bad requests answered, not fatal
     assert np.shape(r4["ids"]) == (1, 2)
+    # Unparseable line: the error must NOT inherit the previous request's id.
+    assert "error" in r5 and r5["id"] is None
 
     # Parity with a direct in-process scan over the same index files.
     from local_search_quantization_tpu.ops import adc
