@@ -143,6 +143,11 @@ def _scan_topk(
         )
     nq = luts.shape[0]
     m, n = Bt.shape
+    if n % block:
+        # The caller owns padding (see _run_scan's pad-with-inf contract);
+        # silently scanning only n // block full blocks would drop the tail
+        # rows from the top-k with no error.
+        raise ValueError(f"n={n} must be a multiple of block={block}")
     nblocks = n // block
 
     def step(carry, bi):

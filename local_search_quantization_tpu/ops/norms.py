@@ -54,7 +54,12 @@ def scalar_kmeans(vals: np.ndarray, h: int, iters: int = 200) -> np.ndarray:
         if tot <= 0:
             c[i:] = c[i - 1]
             break
-        c[i] = v[np.searchsorted(np.cumsum(mind), rng.random() * tot)]
+        # min() guards the pathological edge where cumsum[-1] < tot by a
+        # rounding ulp (pairwise .sum() vs sequential cumsum) and
+        # searchsorted lands one past the end.
+        idx = min(np.searchsorted(np.cumsum(mind), rng.random() * tot),
+                  v.shape[0] - 1)
+        c[i] = v[idx]
         np.minimum(mind, (v - c[i]) ** 2, out=mind)
     c = np.sort(c)
     eps = max(1e-9, 1e-12 * abs(v[-1]))

@@ -77,6 +77,27 @@ def _onehot_tile(codes_ref, m: int, h: int, tb: int):
     )
 
 
+def _dist_tile(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
+               m: int, h: int, tb: int):
+    """f32-grade [nqt, tb] distance tile: two bf16 matmuls over the hi/lo
+    split LUTs (see _split_hi_lo) plus the per-row norm term. Shared by the
+    sorted/unsorted and grouped kernels so the contraction (dimension
+    numbers, accumulation dtype) cannot drift between variants; the key
+    kernel intentionally uses a hi-only half-work version."""
+    oh = _onehot_tile(codes_ref, m, h, tb)  # [m*h, tb]
+    dhi = jax.lax.dot_general(
+        lut_hi_ref[:, :], oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dlo = jax.lax.dot_general(
+        lut_lo_ref[:, :], oh,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dhi + dlo + extra_ref[0, :][None, :]
+
+
 def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
                    out_d_ref, out_i_ref, dist_ref, *,
                    m: int, h: int, k: int, cap: int, tb: int, nqt: int,
@@ -89,18 +110,8 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
         out_i_ref[:] = jnp.full((nqt, cap), -1, jnp.int32)
 
     # --- Distances for this tile: 2 bf16 matmuls (hi/lo split LUTs). ---
-    oh = _onehot_tile(codes_ref, m, h, tb)  # [m*h, tb]
-    dhi = jax.lax.dot_general(
-        lut_hi_ref[:, :], oh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dlo = jax.lax.dot_general(
-        lut_lo_ref[:, :], oh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dist_ref[:] = dhi + dlo + extra_ref[0, :][None, :]
+    dist_ref[:] = _dist_tile(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
+                             m, h, tb)
 
     # --- Extract every element beating the per-query threshold, which is
     # min(buffer bound, warm-start bound t0), where the buffer bound is the
@@ -219,18 +230,8 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
         out_d_ref[:] = jnp.full((nqt, cap), jnp.inf, jnp.float32)
         out_i_ref[:] = jnp.full((nqt, cap), -1, jnp.int32)
 
-    oh = _onehot_tile(codes_ref, m, h, tb)  # [m*h, tb]
-    dhi = jax.lax.dot_general(
-        lut_hi_ref[:, :], oh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dlo = jax.lax.dot_general(
-        lut_lo_ref[:, :], oh,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dist_ref[:] = dhi + dlo + extra_ref[0, :][None, :]
+    dist_ref[:] = _dist_tile(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
+                             m, h, tb)
 
     lane_cap = jax.lax.broadcasted_iota(jnp.int32, (nqt, cap), dimension=1)
     lane_tb = jax.lax.broadcasted_iota(jnp.int32, (nqt, tb), dimension=1)
@@ -567,7 +568,13 @@ def fused_scan_topk(
     # Applied only to the auto-picked block size — an explicitly requested
     # nqt (e.g. a tuning sweep) is honored as-is and left to the compiler's
     # own VMEM check.
-    buf_bytes = cap * 4 if key_mode else cap * 8
+    # Buffer cost per query row: in-kernel scratch PLUS the double-buffered
+    # [nqt, cap] output windows (dists f32 + ids i32, x2 buffers = 16*cap;
+    # key mode outputs packed i32 keys only = 8*cap). At cap~1k the windows
+    # hide inside the fixed slack, but at the k~10000 route (cap~10k) they
+    # dominate: nqt=512 at cap=10112 is a measured live OOM while this
+    # model correctly steps to the measured-good nqt=256 (BASELINE.md).
+    buf_bytes = cap * 12 if key_mode else cap * 24
     per_row = m * h * 4 + tb * 4 + buf_bytes + 22 * 1024
     while (auto_nqt and nqt > 128
            and nqt * per_row + tb * m * h * 4 > 118 * 2**20):

@@ -119,8 +119,22 @@ def main():
               "still applies, absolute recalls are not the paper's.")
         import os
         if args.corpus_cache and os.path.exists(args.corpus_cache):
-            print(f"[repro] corpus cache hit: {args.corpus_cache}")
             z = np.load(args.corpus_cache)
+            exp = (args.ntrain, min(args.nbase, 1_000_000),
+                   min(args.nquery, 10_000))
+            got = (z["train"].shape[0], z["base"].shape[0],
+                   z["query"].shape[0])
+            if got != exp:
+                raise SystemExit(
+                    f"[repro] corpus cache {args.corpus_cache} holds "
+                    f"(ntrain, nbase, nquery)={got} but this run requests "
+                    f"{exp} — use a fresh cache path")
+            if "seed" in z and int(z["seed"]) != args.seed:
+                raise SystemExit(
+                    f"[repro] corpus cache {args.corpus_cache} was built "
+                    f"with seed {int(z['seed'])}, run requests "
+                    f"{args.seed} — use a fresh cache path")
+            print(f"[repro] corpus cache hit: {args.corpus_cache}")
             x_train, x_base, x_query, gt = (
                 z["train"], z["base"], z["query"], z["gt"],
             )
@@ -133,7 +147,7 @@ def main():
             x_train, x_base, x_query, gt = dd.train, dd.base, dd.query, dd.gt
             if args.corpus_cache:
                 np.savez(args.corpus_cache, train=x_train, base=x_base,
-                         query=x_query, gt=gt)
+                         query=x_query, gt=gt, seed=args.seed)
                 print(f"[repro] corpus cached: {args.corpus_cache}")
     else:
         x_train = read_dataset(args.dataset, args.ntrain).astype(np.float32)
