@@ -66,7 +66,10 @@ def main():
     for tb in tbs:
         for nqt in nqts:
             for v in variants:
-                cold = 0.0 if warm_only else timeit(
+                # variant="key" has no cold path: it REQUIRES a warm
+                # threshold (and returns an extra certificate flag), so
+                # only its warm timing is meaningful.
+                cold = 0.0 if (warm_only or v == "key") else timeit(
                     lambda lt: fused_scan_topk(
                         lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v))
                 warm = timeit(lambda lt: scan_topk_warm(

@@ -364,7 +364,7 @@ def _key_to_f32_bits(key):
     return jnp.where(key >= 0, key, _MININT - key)
 
 
-def _select_kernel_key(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
+def _select_kernel_key(lut_hi_ref, codes_ref, extra_ref, t0_ref,
                        out_i_ref, out_cnt_ref, key_ref, *,
                        m: int, h: int, cap: int, tb: int, nqt: int):
     """Append-mode extraction on packed monotone keys (variant="key").
@@ -575,7 +575,8 @@ def fused_scan_topk(
     # dominate: nqt=512 at cap=10112 is a measured live OOM while this
     # model correctly steps to the measured-good nqt=256 (BASELINE.md).
     buf_bytes = cap * 12 if key_mode else cap * 24
-    per_row = m * h * 4 + tb * 4 + buf_bytes + 22 * 1024
+    lut_row = m * h * (2 if key_mode else 4)  # key mode is hi-only
+    per_row = lut_row + tb * 4 + buf_bytes + 22 * 1024
     while (auto_nqt and nqt > 128
            and nqt * per_row + tb * m * h * 4 > 118 * 2**20):
         nqt //= 2
@@ -612,10 +613,12 @@ def fused_scan_topk(
         kernel = functools.partial(
             _select_kernel_key, m=m, h=h, cap=cap, tb=tb, nqt=nqt,
         )
+        # hi-only: the key kernel never reads the lo LUT — keeping it out
+        # of the specs frees nqt*m*h*2 bytes of VMEM for a larger block.
         out_i, out_cnt = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=common_in_specs,
+            in_specs=[common_in_specs[0]] + common_in_specs[2:],
             out_specs=[
                 pl.BlockSpec((nqt, cap), lambda q, t: (q, 0)),
                 pl.BlockSpec((nqt, 1), lambda q, t: (q, 0)),
@@ -629,7 +632,7 @@ def fused_scan_topk(
                 vmem_limit_bytes=127 * 1024 * 1024
             ),
             interpret=interpret,
-        )(hi, lo, Bt, extra[None, :], t0)
+        )(hi, Bt, extra[None, :], t0)
         exact = _rerank_ids(flat, Bt, extra, out_i, m, h)
         sd, si = jax.lax.sort((exact, out_i), dimension=1, num_keys=1)
         sd, si = sd[:, :k], si[:, :k]
@@ -651,9 +654,16 @@ def fused_scan_topk(
         T_hi = jax.lax.bitcast_convert_type(
             _key_to_f32_bits(t0k_m), jnp.float32
         )
+        # Two rounding sources separate the in-kernel hi value from exact:
+        # bf16 LUT entries (half-ulp rel 2^-9 per entry, m summed; f32
+        # accumulation slack in the 2^-16 term) AND the final f32
+        # `dhi + extra` add, whose rounding scales with |extra| — up to
+        # 2^-24 * max|extra|, dominant when db norms dwarf the LUT terms
+        # (e.g. near-zero queries). 2^-23 leaves a doubling of slack.
+        # max over the UNPADDED rows only (pad rows are +inf).
         err = (2.0 ** -9 + 2.0 ** -16) * jnp.sum(
             jnp.max(jnp.abs(luts), axis=2), axis=1, keepdims=True
-        )
+        ) + 2.0 ** -23 * jnp.max(jnp.abs(extra[:n]))
         overflow = jnp.any(out_cnt >= cap)
         bad = jnp.any(sd[:, k - 1 :] >= T_hi - err) | overflow
         return sd[:nq], si[:nq], bad

@@ -151,7 +151,8 @@ def synthetic_dataset(
     # --- Shared direction bank with per-cluster power-law weights:
     # x = c + (z * w[cluster]) @ V + iid noise. Rows of V unit-norm, so
     # E||offset||^2 = sum_l w_l^2; w rows are normalized to each cluster's
-    # spread budget sigma_k = noise * 0.22 * ||center_k||.
+    # spread budget sigma_k = noise * 1.512 * ||center_k|| (the v4
+    # calibration constant — history in the sweep note below).
     V = rng.normal(size=(L, d)) * env[None, :]
     V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-9)
     lam = (np.arange(1, L + 1, dtype=np.float64)) ** -1.6

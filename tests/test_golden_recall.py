@@ -69,9 +69,12 @@ def data():
 
 
 def recall_at(gt, ids, ns=(1, 10, 100)):
-    hit = np.asarray(ids) == np.asarray(gt)[:, None]
-    anyh = np.cumsum(hit, axis=1) > 0
-    return {n: float(anyh[:, n - 1].mean()) for n in ns}
+    # Thin adapter over the production curve (utils/eval.py) so the gates
+    # pin exactly what eval_recall/repro report — no second recall impl.
+    from local_search_quantization_tpu.utils.eval import eval_recall
+
+    curve = eval_recall(gt, ids, max(ns), verbose=False)
+    return {n: float(curve[n - 1]) for n in ns}
 
 
 def check(method, rec):
