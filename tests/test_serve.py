@@ -48,10 +48,15 @@ def test_build_and_serve(tmp_path, method, rng):
         p.stdin.write(json.dumps({"id": 4, "vectors": q[:1].tolist(),
                                   "k": 2}) + "\n")
         p.stdin.write("{{{not json\n")
+        xnew = rng.normal(130, 25, size=(2, 16)).astype(np.float32)
+        p.stdin.write(json.dumps({"op": "add", "id": 6,
+                                  "vectors": xnew.tolist()}) + "\n")
+        p.stdin.write(json.dumps({"id": 7, "vectors": xnew[:1].tolist(),
+                                  "k": 5}) + "\n")
         p.stdin.write("EOF\n")
         p.stdin.flush()
-        r1, r2, r3, r4, r5 = (json.loads(p.stdout.readline())
-                              for _ in range(5))
+        r1, r2, r3, r4, r5, r6, r7 = (json.loads(p.stdout.readline())
+                                      for _ in range(7))
     finally:
         p.stdin.close()
         assert p.wait(timeout=60) == 0
@@ -63,6 +68,10 @@ def test_build_and_serve(tmp_path, method, rng):
     assert np.shape(r4["ids"]) == (1, 2)
     # Unparseable line: the error must NOT inherit the previous request's id.
     assert "error" in r5 and r5["id"] is None
+    # Dynamic insert: consecutive ids assigned, count grows, and a query
+    # for the just-inserted vector finds it (deterministic given the seed).
+    assert r6["added"] == [1500, 1501] and r6["n"] == 1502
+    assert 1500 in r7["ids"][0], r7["ids"]
 
     # Parity with a direct in-process scan over the same index files.
     from local_search_quantization_tpu.ops import adc
