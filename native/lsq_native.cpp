@@ -208,9 +208,13 @@ int lsq_linscan(float* dists, int64_t* ids, const uint8_t* codes,
     std::sort_heap(heap.begin(), heap.end());
     float* dq = dists + q * (int64_t)k;
     int64_t* iq = ids + q * (int64_t)k;
-    for (int j = 0; j < k; ++j) {
-      dq[j] = heap[j].first;
-      iq[j] = heap[j].second;
+    // +inf rows (e.g. tombstoned entries served via extra) are never
+    // accepted, so fewer than k candidates can survive; pad with the
+    // (+inf, -1) sentinel the sharded-query merge also uses.
+    const int64_t got = (int64_t)heap.size();
+    for (int64_t j = 0; j < k; ++j) {
+      dq[j] = j < got ? heap[j].first : std::numeric_limits<float>::infinity();
+      iq[j] = j < got ? heap[j].second : -1;
     }
   }
   return 0;
@@ -409,9 +413,11 @@ int lsq_linscan_fast(float* dists, int64_t* ids, const uint8_t* codes,
     tk.finish();
     float* dq = dists + q * (int64_t)k;
     int64_t* iq = ids + q * (int64_t)k;
-    for (int j = 0; j < k; ++j) {
-      dq[j] = tk.buf[j].first;
-      iq[j] = tk.buf[j].second;
+    const int64_t got = (int64_t)tk.buf.size();
+    for (int64_t j = 0; j < k; ++j) {
+      dq[j] = j < got ? tk.buf[j].first
+                      : std::numeric_limits<float>::infinity();
+      iq[j] = j < got ? tk.buf[j].second : -1;
     }
   }
   return 0;

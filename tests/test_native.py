@@ -169,6 +169,23 @@ def test_native_method_routing_without_fast(rng, monkeypatch):
         native.linscan(luts, codes, None, k, method="bogus")
 
 
+def test_native_tombstoned_rows_pad_with_sentinels(rng):
+    """+inf extra rows (tombstones) are never returned; when fewer than k
+    finite rows exist, both scanners pad with the (+inf, -1) sentinel
+    instead of reading past the candidate set."""
+    n, nq, m, h, k = 600, 3, 4, 16, 32
+    codes = rng.integers(0, h, size=(n, m)).astype(np.uint8)
+    luts = rng.normal(size=(nq, m, h)).astype(np.float32)
+    extra = np.zeros(n, np.float32)
+    keep = 20  # fewer finite rows than k
+    extra[keep:] = np.inf
+    for method in ("heap", "fast") if _fast_supported() else ("heap",):
+        d, i = native.linscan(luts, codes, extra, k, method=method)
+        assert np.all(i[:, :keep] < keep) and np.all(i[:, :keep] >= 0)
+        np.testing.assert_array_equal(i[:, keep:], -1)
+        assert np.all(np.isinf(d[:, keep:]))
+
+
 def test_native_vecs_read_roundtrip(tmp_path, rng):
     # Write an fvecs file, read through both paths.
     n, d = 57, 9

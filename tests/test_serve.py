@@ -33,6 +33,13 @@ def test_build_and_serve(tmp_path, method, rng):
     idx = _build(tmp_path, method)
     assert {"meta.json", "model.npz", "codes.npz"} <= set(os.listdir(idx))
 
+    # Snapshot the as-built index for the parity oracle below — the serve
+    # session's "save" op rewrites codes.npz with the mutations.
+    from local_search_quantization_tpu.utils import checkpoint as ckpt
+
+    model = ckpt.load_model(os.path.join(idx, "model.npz"))
+    codes0 = ckpt.load_codes(os.path.join(idx, "codes.npz"))
+
     p = subprocess.Popen(
         [sys.executable, "scripts/serve.py", "--index", idx, "--k", "5",
          "--platform", "cpu"],
@@ -53,10 +60,17 @@ def test_build_and_serve(tmp_path, method, rng):
                                   "vectors": xnew.tolist()}) + "\n")
         p.stdin.write(json.dumps({"id": 7, "vectors": xnew[:1].tolist(),
                                   "k": 5}) + "\n")
+        p.stdin.write(json.dumps({"op": "delete", "id": 8,
+                                  "ids": [1500]}) + "\n")
+        p.stdin.write(json.dumps({"id": 9, "vectors": xnew[:1].tolist(),
+                                  "k": 5}) + "\n")
+        p.stdin.write(json.dumps({"op": "delete", "id": 10,
+                                  "ids": [99999]}) + "\n")
+        p.stdin.write(json.dumps({"op": "save", "id": 11}) + "\n")
         p.stdin.write("EOF\n")
         p.stdin.flush()
-        r1, r2, r3, r4, r5, r6, r7 = (json.loads(p.stdout.readline())
-                                      for _ in range(7))
+        (r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11) = (
+            json.loads(p.stdout.readline()) for _ in range(11))
     finally:
         p.stdin.close()
         assert p.wait(timeout=60) == 0
@@ -72,18 +86,40 @@ def test_build_and_serve(tmp_path, method, rng):
     # for the just-inserted vector finds it (deterministic given the seed).
     assert r6["added"] == [1500, 1501] and r6["n"] == 1502
     assert 1500 in r7["ids"][0], r7["ids"]
+    # Delete tombstones the row: same query must no longer return it.
+    assert r8["deleted"] == 1 and r8["n"] == 1502
+    assert 1500 not in r9["ids"][0], r9["ids"]
+    assert "error" in r10  # out-of-range delete refused
+    assert r11["saved"].endswith("codes.npz")
 
-    # Parity with a direct in-process scan over the same index files.
+    # The saved index must reload with the insert AND the tombstone intact.
+    p2 = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--index", idx, "--k", "5",
+         "--platform", "cpu"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=REPO,
+    )
+    try:
+        ready2 = json.loads(p2.stdout.readline())
+        assert ready2["n"] == 1502
+        p2.stdin.write(json.dumps({"id": 1, "vectors": xnew[:1].tolist(),
+                                   "k": 5}) + "\n")
+        p2.stdin.write("EOF\n")
+        p2.stdin.flush()
+        rr = json.loads(p2.stdout.readline())
+        assert 1500 not in rr["ids"][0], rr["ids"]
+    finally:
+        p2.stdin.close()
+        assert p2.wait(timeout=60) == 0
+
+    # Parity of the pre-mutation responses with a direct in-process scan
+    # over the as-built index snapshot.
     from local_search_quantization_tpu.ops import adc
-    from local_search_quantization_tpu.utils import checkpoint as ckpt
 
-    model = ckpt.load_model(os.path.join(idx, "model.npz"))
-    codes = ckpt.load_codes(os.path.join(idx, "codes.npz"))
     if method == "lsq":
-        dbn = codes["cbnorms"][codes["bnorm"]].astype(np.float32)
-        res = adc.linscan_lsq(codes["B"], q, model.C, dbn, k=5)
+        dbn = codes0["cbnorms"][codes0["bnorm"]].astype(np.float32)
+        res = adc.linscan_lsq(codes0["B"], q, model.C, dbn, k=5)
     else:
-        res = adc.linscan_pq(codes["B"], q, model.C_sub, k=5)
+        res = adc.linscan_pq(codes0["B"], q, model.C_sub, k=5)
     np.testing.assert_allclose(
         np.asarray(r1["dists"], np.float32), np.asarray(res.dists),
         rtol=1e-5, atol=1e-5)
