@@ -169,6 +169,38 @@ def test_native_method_routing_without_fast(rng, monkeypatch):
         native.linscan(luts, codes, None, k, method="bogus")
 
 
+def test_native_fast_fuzz_parity(rng):
+    """Seeded shape/content fuzz: the fixed parity grid has twice let an
+    edge case through (64 | k threshold seeding; zero-span LUTs with
+    varying extra), so randomize shapes, k, LUT degeneracies, tie-heavy
+    codes, and extreme extra scales against the scalar oracle."""
+    if not _fast_supported():
+        pytest.skip("library built without AVX-512 VBMI")
+    for trial in range(15):
+        n = int(rng.integers(65, 20_000))
+        m = int(rng.integers(1, 17))
+        h = int(rng.integers(4, 257))
+        k = int(rng.integers(1, min(n, 2048) + 1))
+        codes = rng.integers(0, h, size=(n, m)).astype(np.uint8)
+        if rng.random() < 0.3:  # heavy exact-tie pressure
+            codes[n // 2:] = codes[: n - n // 2]
+        luts = (rng.normal(size=(m, h)) * rng.uniform(0.01, 50)).astype(
+            np.float32)[None].repeat(2, axis=0)
+        luts += rng.normal(size=(2, m, h)).astype(np.float32)
+        if rng.random() < 0.2:  # (near-)zero span
+            luts[:] = np.float32(rng.normal())
+        extra = None
+        if rng.random() < 0.6:
+            scale = 10.0 ** rng.integers(-2, 6)  # up to norm >> lut regime
+            extra = (rng.normal(size=n).astype(np.float32) ** 2) * scale
+        d1, i1 = native.linscan(luts, codes, extra, k, method="heap")
+        d2, i2 = native.linscan(luts, codes, extra, k, method="fast")
+        ctx = dict(trial=trial, n=n, m=m, h=h, k=k,
+                   extra=extra is not None)
+        np.testing.assert_array_equal(d1, d2, err_msg=str(ctx))
+        np.testing.assert_array_equal(i1, i2, err_msg=str(ctx))
+
+
 def test_native_tombstoned_rows_pad_with_sentinels(rng):
     """+inf extra rows (tombstones) are never returned; when fewer than k
     finite rows exist, both scanners pad with the (+inf, -1) sentinel
