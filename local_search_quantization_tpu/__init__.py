@@ -30,6 +30,7 @@ from local_search_quantization_tpu.utils.config import (
     PQConfig,
     SLSQConfig,
 )
+from local_search_quantization_tpu.index import Index
 
 __version__ = "0.1.0"
 
@@ -38,6 +39,7 @@ __all__ = [
     "ops",
     "parallel",
     "utils",
+    "Index",
     "PQConfig",
     "OPQConfig",
     "ChainQConfig",

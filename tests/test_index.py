@@ -1,0 +1,64 @@
+"""Library-level Index lifecycle: build / search / add / delete / save / load.
+
+In-process complement to tests/test_serve.py's subprocess coverage; also
+exercises the chainq path (norm codebook stored beside the codes, queries
+rotated into the code space).
+"""
+
+import numpy as np
+import pytest
+
+from local_search_quantization_tpu.index import Index
+from local_search_quantization_tpu.utils.synth import synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data():
+    return synthetic_dataset(5, d=16, n_train=400, n_base=1200, n_query=8)
+
+
+@pytest.mark.parametrize("method", ["opq", "chainq"])
+def test_index_lifecycle(tmp_path, data, method, rng):
+    idx = Index.build(data.train, data.base, method, m=2, h=16, niter=2,
+                      ilsiter=2, seed=0)
+    assert idx.n == 1200 and idx.active == 1200 and idx.d == 16
+
+    res = idx.search(data.query, k=10)
+    assert res.ids.shape == (8, 10)
+    top1 = int(res.ids[0, 0])
+
+    # Insert: the new vector lands in its own code's tie group (8-bit
+    # codes here, so ~n/256 rows share it and lower ids win exact ties —
+    # a wide k covers the whole group deterministically).
+    xnew = rng.normal(120, 25, size=(3, 16)).astype(np.float32)
+    added = idx.add(xnew)
+    assert added == [1200, 1201, 1202] and idx.n == 1203
+    r2 = idx.search(xnew[:1], k=50)
+    assert 1200 in np.asarray(r2.ids)[0]
+
+    # Delete both an original row and an added one.
+    assert idx.delete([top1, 1200]) == 2
+    assert idx.active == 1201
+    r3 = idx.search(np.concatenate([data.query[:1], xnew[:1]]), k=50)
+    assert top1 not in np.asarray(r3.ids)[0]
+    assert 1200 not in np.asarray(r3.ids)[1]
+    with pytest.raises(ValueError):
+        idx.delete([idx.n])
+
+    # Round-trip: mutations survive save/load.
+    path = str(tmp_path / "idx")
+    idx.save(path)
+    idx2 = Index.load(path)
+    assert idx2.n == 1203 and idx2.active == 1201
+    r4 = idx2.search(xnew[:1], k=50)
+    assert 1200 not in np.asarray(r4.ids)[0]
+    np.testing.assert_allclose(np.asarray(r3.dists)[1],
+                               np.asarray(r4.dists)[0], rtol=1e-5)
+
+    # k beyond active rows pads with the (+inf, -1) sentinel.
+    idx3 = Index.build(data.train, data.base[:40], method, m=2, h=16,
+                       niter=2, seed=0)
+    idx3.delete(list(range(30)))
+    r5 = idx3.search(data.query[:1], k=40)
+    ids = np.asarray(r5.ids)[0]
+    assert (ids[:10] >= 30).all() and (ids[10:] == -1).all()
