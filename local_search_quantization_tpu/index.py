@@ -217,15 +217,32 @@ class Index:
 
     # -- operations ---------------------------------------------------------
 
-    def search(self, Q, k: int = 100) -> adc.KNNResult:
+    def search(self, Q, k: int = 100, *, mesh=None) -> adc.KNNResult:
         """Exact ADC k-NN. Beyond `active` rows, results pad with the
-        (+inf, -1) sentinel."""
+        (+inf, -1) sentinel.
+
+        mesh: an optional `jax.sharding.Mesh` — the database axis is
+        sharded across its devices and each shard's top-k is merged
+        (parallel/query.py), the multi-chip serving path.
+        """
         Q = np.asarray(Q, np.float32)
         if Q.ndim != 2 or Q.shape[1] != self.d:
             raise ValueError(f"queries must be [nq, {self.d}], got {Q.shape}")
         if not 1 <= k <= self.n:
             raise ValueError(f"k={k} out of range [1, {self.n}]")
         model = self.model
+        if mesh is not None:
+            from local_search_quantization_tpu.parallel import query as pq_mod
+
+            B = self.B.astype(np.int32, copy=False)
+            if self.additive:
+                Qr = Q @ np.asarray(model.R, np.float32) \
+                    if self.method == "chainq" else Q
+                return pq_mod.sharded_linscan_lsq(
+                    mesh, B, Qr, model.C, self._dbn, k)
+            R = model.R if self.method == "opq" else None
+            return pq_mod.sharded_linscan_pq(
+                mesh, B, Q, model.C_sub, k, R=R, extra=self._extra)
         if self.additive:
             R = np.asarray(model.R) if self.method == "chainq" else None
             return adc.linscan_lsq(self.B, Q, model.C, self._dbn, k=k, R=R)

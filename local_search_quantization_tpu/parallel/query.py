@@ -123,13 +123,16 @@ def sharded_linscan_pq(
     k: int,
     *,
     R: Array | None = None,
+    extra=None,
     query_chunk: int = 1024,
     block: int = 1 << 15,
     method: str = "auto",
 ) -> KNNResult:
     """Multi-chip PQ/OPQ scanner: shard codes, replicate subspace LUTs.
 
-    Pass R to rotate queries into code space first (OPQ).
+    Pass R to rotate queries into code space first (OPQ). `extra` is an
+    optional [n] additive distance term (e.g. +inf tombstones from
+    Index.delete); it defaults to zeros.
     """
     from local_search_quantization_tpu.parallel.mesh import replicated, shard_cols
 
@@ -141,7 +144,8 @@ def sharded_linscan_pq(
     k = min(k, n)  # padded rows must never be reported as neighbors
     nshards = int(np.prod(list(mesh.shape.values())))
     pad = (-n) % (nshards * block)
-    extra = np.zeros(n, np.float32)
+    extra = (np.zeros(n, np.float32) if extra is None
+             else np.asarray(extra, np.float32))
     if pad:
         B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
         extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])

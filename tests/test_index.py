@@ -55,6 +55,20 @@ def test_index_lifecycle(tmp_path, data, method, rng):
     np.testing.assert_allclose(np.asarray(r3.dists)[1],
                                np.asarray(r4.dists)[0], rtol=1e-5)
 
+    # Multi-chip serving path: database sharded over the virtual 8-device
+    # mesh must agree with the single-chip route (modulo exact-tie order),
+    # tombstones included.
+    from local_search_quantization_tpu.parallel.mesh import data_mesh
+
+    mesh = data_mesh()
+    r_mesh = idx.search(np.concatenate([data.query[:1], xnew[:1]]), k=50,
+                        mesh=mesh)
+    np.testing.assert_allclose(np.asarray(r_mesh.dists),
+                               np.asarray(r3.dists), rtol=1e-4, atol=1e-3)
+    assert (np.asarray(r_mesh.ids) == np.asarray(r3.ids)).mean() > 0.9
+    assert top1 not in np.asarray(r_mesh.ids)[0]
+    assert 1200 not in np.asarray(r_mesh.ids)[1]
+
     # k beyond active rows pads with the (+inf, -1) sentinel.
     idx3 = Index.build(data.train, data.base[:40], method, m=2, h=16,
                        niter=2, seed=0)
