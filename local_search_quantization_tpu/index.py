@@ -323,3 +323,23 @@ class Index:
                 self._extra = np.zeros(self.n, np.float32)
             self._extra[ids] = np.inf
         return int(ids.size)
+
+    def compact(self) -> np.ndarray:
+        """Drop tombstoned rows, renumbering the survivors densely.
+
+        Returns old_of_new [active] int64 — old_of_new[j] is the previous
+        id of the row now serving as id j (the caller's handle for
+        remapping any external id references). Frees the tombstones'
+        memory and scan work; ids are NOT stable across a compact.
+        """
+        keep = ~self._tomb
+        old_of_new = np.flatnonzero(keep)
+        self.B = np.ascontiguousarray(self.B[keep])
+        if self.additive:
+            self._bnorm = self._bnorm[keep]
+            self._dbn = np.ascontiguousarray(self._dbn[keep])
+        else:
+            self._extra = None  # all survivors are live: no carrier needed
+        self._tomb = np.zeros(self.B.shape[0], bool)
+        self.meta["n"] = self.n
+        return old_of_new

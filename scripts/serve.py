@@ -21,6 +21,10 @@ then one response per request line:
            -> {"id": 9, "deleted": 2, "n": total}
               (O(1) tombstones: the row's distance term is pinned to +inf
               so it can never be returned; ids stay stable)
+    compact:  {"op": "compact", "id": 11} -> {"id": 11, "removed": r,
+               "n": new_total}
+              (drops tombstoned rows; survivor ids renumber densely IN
+               ORDER, so clients can remap from their own delete history)
     persist:  {"op": "save", "id": 10} -> {"id": 10, "saved": ..., "n": ...}
               (writes the mutated codes back to the index directory)
     errors:   {"id": 7, "error": "..."}
@@ -77,6 +81,11 @@ def main():
             if op == "delete":
                 ndel = idx.delete(req["ids"])
                 out = {"id": req.get("id"), "deleted": ndel, "n": idx.n}
+            elif op == "compact":
+                n0 = idx.n
+                idx.compact()
+                out = {"id": req.get("id"), "removed": n0 - idx.n,
+                       "n": idx.n}
             elif op == "save":
                 path = idx.save(args.index)
                 out = {"id": req.get("id"), "saved": path, "n": idx.n}

@@ -76,3 +76,13 @@ def test_index_lifecycle(tmp_path, data, method, rng):
     r5 = idx3.search(data.query[:1], k=40)
     ids = np.asarray(r5.ids)[0]
     assert (ids[:10] >= 30).all() and (ids[10:] == -1).all()
+
+    # Compaction renumbers survivors; results map through old_of_new.
+    old_of_new = idx3.compact()
+    np.testing.assert_array_equal(old_of_new, np.arange(30, 40))
+    assert idx3.n == idx3.active == 10
+    r6 = idx3.search(data.query[:1], k=10)
+    np.testing.assert_array_equal(old_of_new[np.asarray(r6.ids)[0]],
+                                  ids[:10])
+    np.testing.assert_allclose(np.asarray(r6.dists)[0],
+                               np.asarray(r5.dists)[0, :10], rtol=1e-5)
