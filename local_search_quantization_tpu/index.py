@@ -50,23 +50,80 @@ class Index:
             raise ValueError(f"method must be one of {_METHODS}, got {method}")
         self.method = method
         self.model = model
-        self.B = np.asarray(B)
         self.meta = dict(meta or {})
         self.meta.setdefault("method", method)
-        self._tomb = (np.zeros(self.B.shape[0], bool) if tomb is None
-                      else np.asarray(tomb, bool).copy())
-        self._extra = None  # pq/opq tombstone carrier, built lazily
+        # Row storage is capacity-managed (amortized doubling on add):
+        # `_n` rows of each `*_buf` are live; public views slice to _n.
+        B = np.asarray(B)
+        self._num = B.shape[0]
+        self._B_buf = B
+        self._tomb_buf = (np.zeros(self._num, bool) if tomb is None
+                          else np.asarray(tomb, bool).copy())
+        self._extra_buf = None  # pq/opq tombstone carrier, built lazily
         if self.additive:
             if bnorm is None:
                 raise ValueError(f"{method} needs bnorm norm codes")
             self._cbnorms = np.asarray(self.model.cbnorms, np.float32) \
-                if method == "lsq" else np.asarray(
-                    self.meta_cbnorms(bnorm), np.float32)
-            self._bnorm = np.asarray(bnorm)
-            self._dbn = self._cbnorms[self._bnorm].astype(np.float32)
-            self._dbn[self._tomb] = np.inf
-        elif self._tomb.any():
-            self._extra = np.where(self._tomb, np.inf, 0.0).astype(np.float32)
+                if method == "lsq" else self._meta_cbnorms()
+            self._bnorm_buf = np.asarray(bnorm)
+            self._dbn_buf = self._cbnorms[self._bnorm_buf].astype(np.float32)
+            self._dbn_buf[self._tomb_buf] = np.inf
+        elif self._tomb_buf.any():
+            self._extra_buf = np.where(
+                self._tomb_buf, np.inf, 0.0).astype(np.float32)
+
+    # Live-row views over the capacity buffers (writable: they are views).
+    @property
+    def B(self) -> np.ndarray:
+        return self._B_buf[: self._num]
+
+    @property
+    def _tomb(self) -> np.ndarray:
+        return self._tomb_buf[: self._num]
+
+    @property
+    def _bnorm(self) -> np.ndarray:
+        return self._bnorm_buf[: self._num]
+
+    @property
+    def _dbn(self) -> np.ndarray:
+        return self._dbn_buf[: self._num]
+
+    @property
+    def _extra(self) -> np.ndarray | None:
+        e = self._extra_buf
+        return None if e is None else e[: self._num]
+
+    def _append_rows(self, B_new, bnorm_new=None):
+        """Amortized-O(1)-per-row append into the capacity buffers."""
+        add = B_new.shape[0]
+        need = self._num + add
+        cap = self._B_buf.shape[0]
+        if need > cap:
+            new_cap = max(need, 2 * cap)
+
+            def grow(buf):
+                out = np.empty((new_cap,) + buf.shape[1:], buf.dtype)
+                out[:cap] = buf
+                return out
+
+            self._B_buf = grow(self._B_buf)
+            self._tomb_buf = grow(self._tomb_buf)
+            if self.additive:
+                self._bnorm_buf = grow(self._bnorm_buf)
+                self._dbn_buf = grow(self._dbn_buf)
+            elif self._extra_buf is not None:
+                self._extra_buf = grow(self._extra_buf)
+        n0 = self._num
+        self._B_buf[n0:need] = B_new.astype(self._B_buf.dtype)
+        self._tomb_buf[n0:need] = False
+        if self.additive:
+            self._bnorm_buf[n0:need] = bnorm_new
+            self._dbn_buf[n0:need] = self._cbnorms[bnorm_new]
+        elif self._extra_buf is not None:
+            self._extra_buf[n0:need] = 0.0
+        self._num = need
+        return n0
 
     # -- construction ------------------------------------------------------
 
@@ -166,28 +223,49 @@ class Index:
         B = codes["B"]
         if meta["h"] <= 256 and jax.default_backend() != "tpu":
             B = np.ascontiguousarray(B, np.uint8)
+        elif B.dtype != np.int32:
+            # TPU programs are compiled/VMEM-budgeted for int32 codes;
+            # normalize whatever dtype an older save left on disk.
+            B = B.astype(np.int32)
         if meta["method"] in ("chainq",) and "cbnorms" in codes:
             meta = dict(meta)
             meta["cbnorms"] = np.asarray(codes["cbnorms"]).tolist()
-        return cls(meta["method"], model, B, bnorm=codes.get("bnorm"),
-                   tomb=codes.get("tomb"), meta=meta)
+        idx = cls(meta["method"], model, B, bnorm=codes.get("bnorm"),
+                  tomb=codes.get("tomb"), meta=meta)
+        idx._loaded_from = path  # lets save(path) skip the frozen model
+        return idx
 
     def save(self, path: str) -> str:
-        """Persist model + codes (+ norm codes, tombstones) atomically."""
+        """Persist model + codes (+ norm codes, tombstones).
+
+        Codes and meta are written via tmp + rename so a mid-write crash
+        cannot corrupt them; the frozen model is written only when absent
+        (it never changes after build, and skipping the rewrite removes
+        the one non-atomic window). The on-disk code dtype is always
+        int32 — the canonical format — even when this host serves a uint8
+        working copy (see load()).
+        """
         os.makedirs(path, exist_ok=True)
-        ckpt.save_model(os.path.join(path, "model.npz"), self.model)
+        model_path = os.path.join(path, "model.npz")
+        if not (os.path.exists(model_path)
+                and getattr(self, "_loaded_from", None) == path):
+            model_tmp = os.path.join(path, "model.tmp.npz")
+            ckpt.save_model(model_tmp, self.model)
+            os.replace(model_tmp, model_path)
         extra_cols: dict = {"tomb": self._tomb}
         if self.additive:
             extra_cols["bnorm"] = self._bnorm
             extra_cols["cbnorms"] = self._cbnorms
         tmp = os.path.join(path, "codes.tmp.npz")  # savez appends .npz
-        ckpt.save_codes(tmp, self.B, extra_cols)
+        ckpt.save_codes(tmp, self.B.astype(np.int32, copy=False), extra_cols)
         out = os.path.join(path, "codes.npz")
         os.replace(tmp, out)
         meta = {k: v for k, v in self.meta.items() if k != "cbnorms"}
         meta["n"] = self.n
-        with open(os.path.join(path, "meta.json"), "w") as f:
+        meta_tmp = os.path.join(path, "meta.tmp.json")
+        with open(meta_tmp, "w") as f:
             json.dump(meta, f, indent=2)
+        os.replace(meta_tmp, os.path.join(path, "meta.json"))
         return out
 
     # -- properties --------------------------------------------------------
@@ -209,7 +287,9 @@ class Index:
     def d(self) -> int:
         return int(self.meta["d"])
 
-    def meta_cbnorms(self, bnorm) -> np.ndarray:
+    def _meta_cbnorms(self) -> np.ndarray:
+        """ChainQ's norm codebook lives beside the model (the ChainQModel
+        NamedTuple has no cbnorms field), stashed in meta by build/load."""
         cbn = self.meta.get("cbnorms")
         if cbn is None:
             raise ValueError("chainq index is missing its norm codebook")
@@ -295,18 +375,12 @@ class Index:
                 npert=min(4, m), randord=True)
             Bn = np.asarray(enc.B)
         Bn = Bn[:nreal]
-        n0 = self.n
+        bn = None
         if self.additive:
             from local_search_quantization_tpu.ops import norms
 
             bn = np.asarray(norms.quantize_norms(Bn, model.C, self._cbnorms))
-            self._bnorm = np.concatenate([self._bnorm, bn])
-            self._dbn = np.concatenate([self._dbn, self._cbnorms[bn]])
-        elif self._extra is not None:
-            self._extra = np.concatenate(
-                [self._extra, np.zeros(nreal, np.float32)])
-        self._tomb = np.concatenate([self._tomb, np.zeros(nreal, bool)])
-        self.B = np.concatenate([self.B, Bn.astype(self.B.dtype)])
+        n0 = self._append_rows(Bn, bn)
         return list(range(n0, n0 + nreal))
 
     def delete(self, ids) -> int:
@@ -319,8 +393,8 @@ class Index:
         if self.additive:
             self._dbn[ids] = np.inf
         else:
-            if self._extra is None:
-                self._extra = np.zeros(self.n, np.float32)
+            if self._extra_buf is None:
+                self._extra_buf = np.zeros(self._B_buf.shape[0], np.float32)
             self._extra[ids] = np.inf
         return int(ids.size)
 
@@ -334,12 +408,13 @@ class Index:
         """
         keep = ~self._tomb
         old_of_new = np.flatnonzero(keep)
-        self.B = np.ascontiguousarray(self.B[keep])
+        self._B_buf = np.ascontiguousarray(self.B[keep])
         if self.additive:
-            self._bnorm = self._bnorm[keep]
-            self._dbn = np.ascontiguousarray(self._dbn[keep])
+            self._bnorm_buf = self._bnorm[keep].copy()
+            self._dbn_buf = np.ascontiguousarray(self._dbn[keep])
         else:
-            self._extra = None  # all survivors are live: no carrier needed
-        self._tomb = np.zeros(self.B.shape[0], bool)
+            self._extra_buf = None  # all survivors live: no carrier needed
+        self._num = self._B_buf.shape[0]
+        self._tomb_buf = np.zeros(self._num, bool)
         self.meta["n"] = self.n
         return old_of_new

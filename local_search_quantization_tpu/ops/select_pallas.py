@@ -660,10 +660,15 @@ def fused_scan_topk(
         # `dhi + extra` add, whose rounding scales with |extra| — up to
         # 2^-24 * max|extra|, dominant when db norms dwarf the LUT terms
         # (e.g. near-zero queries). 2^-23 leaves a doubling of slack.
-        # max over the UNPADDED rows only (pad rows are +inf).
+        # Max over FINITE entries only: +inf rows (caller padding from
+        # adc._run_scan when n % base_block != 0, or Index.delete
+        # tombstones) can never be candidates, and folding them in would
+        # make err = inf — permanently voiding the certificate.
+        e_n = extra[:n]
+        e_max = jnp.max(jnp.where(jnp.isfinite(e_n), jnp.abs(e_n), 0.0))
         err = (2.0 ** -9 + 2.0 ** -16) * jnp.sum(
             jnp.max(jnp.abs(luts), axis=2), axis=1, keepdims=True
-        ) + 2.0 ** -23 * jnp.max(jnp.abs(extra[:n]))
+        ) + 2.0 ** -23 * e_max
         overflow = jnp.any(out_cnt >= cap)
         bad = jnp.any(sd[:, k - 1 :] >= T_hi - err) | overflow
         return sd[:nq], si[:nq], bad

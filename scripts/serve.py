@@ -65,7 +65,7 @@ def main():
 
     idx = Index.load(args.index)
     if not args.no_warmup:
-        idx.search(np.zeros((1, idx.d), np.float32), args.k)
+        idx.search(np.zeros((1, idx.d), np.float32), min(args.k, idx.n))
 
     print(json.dumps({"ready": True, "method": idx.method, "n": idx.n,
                       "k": args.k}), flush=True)

@@ -45,15 +45,26 @@ def test_index_lifecycle(tmp_path, data, method, rng):
     with pytest.raises(ValueError):
         idx.delete([idx.n])
 
-    # Round-trip: mutations survive save/load.
+    # Round-trip: mutations survive save/load; on-disk codes stay int32
+    # (the canonical format) even when this CPU host serves uint8.
     path = str(tmp_path / "idx")
     idx.save(path)
+    import os
+
+    with np.load(os.path.join(path, "codes.npz")) as z:
+        assert z["B"].dtype == np.int32
     idx2 = Index.load(path)
     assert idx2.n == 1203 and idx2.active == 1201
     r4 = idx2.search(xnew[:1], k=50)
     assert 1200 not in np.asarray(r4.ids)[0]
     np.testing.assert_allclose(np.asarray(r3.dists)[1],
                                np.asarray(r4.dists)[0], rtol=1e-5)
+    # Re-saving a CPU-host working copy (uint8 codes) must not leak the
+    # downgrade to disk: int32 stays the canonical format.
+    assert idx2.B.dtype == np.uint8
+    idx2.save(path)
+    with np.load(os.path.join(path, "codes.npz")) as z:
+        assert z["B"].dtype == np.int32
 
     # Multi-chip serving path: database sharded over the virtual 8-device
     # mesh must agree with the single-chip route (modulo exact-tie order),
