@@ -197,7 +197,7 @@ class Index:
                 norms.quantize_norms(B, model.C, model.cbnorms))
         full_meta = {
             "method": method, "m": m, "h": h, "d": int(x_train.shape[1]),
-            "n": int(B.shape[0]),
+            "n": int(B.shape[0]), "ntrain": int(x_train.shape[0]),
             "bits": int(m * np.ceil(np.log2(h))) + (8 if additive else 0),
             "niter": niter, "seed": seed,
             "ilsiter": ilsiter if method == "lsq" else None,
