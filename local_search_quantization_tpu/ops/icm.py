@@ -157,15 +157,19 @@ def cost_from_luts(
 _CONDITION_FNS = {"gather": _condition, "matmul": _condition_matmul}
 
 
-def resolve_condition_mode(mode: str) -> str:
-    """Map "auto" to the best backend for the current platform.
+def resolve_condition_mode(mode: str, platform: str | None = None) -> str:
+    """Map "auto" to the best backend for the target platform.
 
     "kernel" (whole-ILS single-launch Pallas kernel) measures 3.87M vec/s per
     ILS round on a v5e vs 1.75M for "fused" (per-round kernel + XLA glue) and
     0.31M for "gather" (pure XLA).
+
+    platform: the devices that will RUN the program (e.g. a mesh's
+    platform); defaults to jax.default_backend().
     """
     if mode == "auto":
-        return "kernel" if jax.default_backend() == "tpu" else "gather"
+        p = platform or jax.default_backend()
+        return "kernel" if p == "tpu" else "gather"
     return mode
 
 

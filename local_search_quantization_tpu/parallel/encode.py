@@ -18,9 +18,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from local_search_quantization_tpu.ops.icm import ILSResult, ils_encode
+from local_search_quantization_tpu.ops.icm import (
+    ILSResult, ils_encode, resolve_condition_mode,
+)
 from local_search_quantization_tpu.ops.solver import code_gram
-from local_search_quantization_tpu.parallel.mesh import DATA_AXIS
+from local_search_quantization_tpu.parallel.mesh import DATA_AXIS, mesh_platform
 
 Array = jax.Array
 
@@ -42,15 +44,16 @@ def sharded_ils_encode(
     """ILS-encode a database sharded over the mesh's data axis.
 
     Per-shard RNG streams are decorrelated by folding the shard index into
-    the key; the ICM visit order stays identical across shards (as in the
-    reference, where the master picks one `randperm(m)` per round).
-    condition_mode "auto" resolves to the fused whole-ILS Pallas kernel on
-    TPU (each shard runs the single-chip fast path), the XLA gather path
-    elsewhere.
+    the key — which also means each shard draws its OWN random ICM visit
+    orders (the reference's master instead picks one `randperm(m)` per
+    round for all workers, encode_icm.jl:151-175). Any visit order is a
+    valid ICM sweep and the per-vector accept-if-better guarantee is
+    order-independent, but a sharded run is NOT bit-comparable to a
+    single-chip run with the same key. condition_mode "auto" resolves to
+    the fused whole-ILS Pallas kernel on TPU meshes (each shard runs the
+    single-chip fast path), the XLA gather path elsewhere.
     """
-    from local_search_quantization_tpu.ops.icm import resolve_condition_mode
-
-    mode = resolve_condition_mode(condition_mode)
+    mode = resolve_condition_mode(condition_mode, mesh_platform(mesh))
 
     def local(key, X, B0, C):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
@@ -79,6 +82,7 @@ def sharded_update_codebooks(
     h: int,
     *,
     ridge: float = 1e-4,
+    n_valid: int | None = None,
     axis: str = DATA_AXIS,
 ) -> Array:
     """Codebook least-squares with shard-local Gram accumulation + one psum.
@@ -86,11 +90,21 @@ def sharded_update_codebooks(
     Each shard builds its local G = A^T A and A^T X on the MXU; a single
     all-reduce pair merges them; the (tiny, [mh, mh]) Cholesky solve runs
     replicated on every chip.
+
+    n_valid: total TRUE row count when the sharded arrays carry padding
+    (shard_batch duplicates the last row to divide by the mesh size —
+    unmasked, those duplicates would be double-counted in the
+    least-squares). Rows at global index >= n_valid get their codes set to
+    -1, whose one-hot is all-zero, so they contribute nothing to G/AtX.
     """
     m = B.shape[1]
     d = X.shape[1]
 
     def local(X, B):
+        if n_valid is not None:
+            start = jax.lax.axis_index(axis) * X.shape[0]
+            row = jnp.arange(X.shape[0], dtype=jnp.int32) + start
+            B = jnp.where((row < n_valid)[:, None], B, -1)
         G, AtX = code_gram(B, X, h, pvary_axis=axis)
         G = jax.lax.psum(G, axis)
         AtX = jax.lax.psum(AtX, axis)
@@ -118,18 +132,21 @@ def make_lsq_train_step(
     npert: int,
     randord: bool = True,
     ridge: float = 1e-4,
+    n_valid: int | None = None,
     axis: str = DATA_AXIS,
 ):
     """One jitted, fully-sharded LSQ EM step: codebook solve + ILS encode.
 
     Returns step(key, X, B) -> (C, B_new, cost) with X/B sharded on the data
     axis and C replicated. This is the multi-chip "training step" surface
-    (also used by __graft_entry__.dryrun_multichip).
+    (also used by __graft_entry__.dryrun_multichip). Pass n_valid when the
+    sharded arrays carry shard_batch padding (see sharded_update_codebooks).
     """
 
     @partial(jax.jit, donate_argnums=(2,))
     def step(key, X, B):
-        C = sharded_update_codebooks(mesh, X, B, h, ridge=ridge, axis=axis)
+        C = sharded_update_codebooks(mesh, X, B, h, ridge=ridge,
+                                     n_valid=n_valid, axis=axis)
         res = sharded_ils_encode(
             mesh, key, X, B, C,
             ilsiter=ilsiter, icmiter=icmiter, npert=npert, randord=randord,

@@ -25,9 +25,24 @@ def data_mesh(devices=None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices).reshape(-1), (axis,))
 
 
+def mesh_platform(mesh: Mesh) -> str:
+    """Platform of the mesh's devices ("tpu"/"cpu"/...).
+
+    Routing decisions must key off THIS, not jax.default_backend(): on a
+    TPU-default process a CPU mesh (e.g. the virtual 8-device test mesh)
+    would otherwise be sent TPU-only Pallas kernels.
+    """
+    return mesh.devices.flat[0].platform
+
+
 def shard_batch(mesh: Mesh, x, axis: str = DATA_AXIS):
-    """Shard the leading (database) dimension across the mesh; pads if the
-    leading dim is not divisible by the mesh size."""
+    """Shard the leading (database) dimension across the mesh; pads by
+    duplicating the last row if it is not divisible by the mesh size.
+
+    The duplicated pad rows WOULD double-weight that row in any training
+    statistic computed over the sharded array — pass the true row count as
+    `n_valid` to sharded_update_codebooks / make_lsq_train_step so the pad
+    rows are masked out of the least-squares accumulation."""
     n = x.shape[0]
     k = mesh.shape[axis]
     pad = (-n) % k

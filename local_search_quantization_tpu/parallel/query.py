@@ -22,7 +22,9 @@ from local_search_quantization_tpu.ops.adc import (
     lsq_query_luts,
     pq_query_luts,
 )
-from local_search_quantization_tpu.parallel.mesh import DATA_AXIS
+from local_search_quantization_tpu.parallel.mesh import (
+    DATA_AXIS, mesh_platform,
+)
 
 Array = jax.Array
 
@@ -52,9 +54,14 @@ def sharded_scan_topk(
     """
     nshards = mesh.shape[axis]
     shard_n = Bt.shape[1] // nshards
+    on_tpu = mesh_platform(mesh) == "tpu"  # NOT jax.default_backend():
+    # a CPU mesh under a TPU-default process must not get TPU kernels.
     if method == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        method = "kernel" if on_tpu and k <= 2048 and 4 * k < shard_n else "scan"
+        # Mirror ops/adc._run_scan's routing: the select kernel covers the
+        # reference's full depth range (k <= 10240, replace-worst buffer
+        # beyond 2048); the streaming lax.top_k merge is the fallback.
+        method = ("kernel" if on_tpu and k <= 10240 and 4 * k < shard_n
+                  else "scan")
 
     def local(luts, Bt, extra):
         idx = jax.lax.axis_index(axis)
@@ -67,9 +74,18 @@ def sharded_scan_topk(
             e = extra if extra is not None else jnp.zeros(
                 n_loc, jnp.float32
             )
+            kk = min(k, n_loc)
+            # Same tuned geometry as the single-chip route (ops/adc.py):
+            # tb=4096 measured best on the transposed layout; k > 2048
+            # switches to the replace-worst buffer at a small query block
+            # (the sorted buffer's O(cap) inserts dominate at depth).
+            # One geometry across both paths = one compiled kernel shape.
+            large_k = kk > 2048
             d_, i_ = fused_scan_topk(
-                luts, Bt, e, k=min(k, n_loc),
-                interpret=jax.default_backend() != "tpu",
+                luts, Bt, e, k=kk, tb=4096,
+                nqt=256 if large_k else None,
+                variant="unsorted" if large_k else "sorted",
+                interpret=not on_tpu,
             )
             if k > n_loc:  # tiny-shard: pad honest sentinels
                 padw = k - n_loc
@@ -115,6 +131,60 @@ def sharded_scan_topk(
     return KNNResult(-nd, jnp.take_along_axis(id_all, pos, axis=1))
 
 
+def _sharded_linscan(
+    mesh: Mesh,
+    B,
+    Q,
+    C: Array,
+    luts_fn,
+    extra,
+    k: int,
+    *,
+    query_chunk: int,
+    block: int,
+    method: str,
+    axis: str,
+) -> KNNResult:
+    """Shared multi-chip linscan driver: pad + shard the codes, then
+    dispatch ALL query chunks before fetching any (same queue-then-fetch
+    pattern as ops/adc._run_scan — a host sync per chunk would serialize
+    each shard scan against the ~35 ms dispatch+fetch RPC of a tunneled
+    backend; queued results are small, [query_chunk, k] x2 per chunk)."""
+    from local_search_quantization_tpu.parallel.mesh import replicated, shard_cols
+
+    B = np.asarray(B)
+    Q = np.asarray(Q)
+    n = B.shape[0]
+    k = min(k, n)  # padded rows must never be reported as neighbors
+    if Q.shape[0] == 0:
+        return KNNResult(np.empty((0, k), np.float32),
+                         np.empty((0, k), np.int32))
+    nshards = mesh.shape[axis]
+    pad = (-n) % (nshards * block)
+    extra = (np.zeros(n, np.float32) if extra is None
+             else np.asarray(extra, np.float32))
+    if pad:
+        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
+        extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
+    Bs = shard_cols(mesh, jnp.asarray(np.ascontiguousarray(B.T)), axis)
+    es = shard_cols(mesh, jnp.asarray(extra), axis)
+    Cr = replicated(mesh, jnp.asarray(C))
+
+    results, valid = [], []
+    for start in range(0, Q.shape[0], query_chunk):
+        qc = Q[start : start + query_chunk]
+        npad = query_chunk - qc.shape[0]
+        if npad:
+            qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
+        luts = luts_fn(replicated(mesh, jnp.asarray(qc)), Cr)
+        results.append(sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
+                                         method=method, axis=axis))
+        valid.append(query_chunk - npad)
+    out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
+    out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]
+    return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
+
+
 def sharded_linscan_pq(
     mesh: Mesh,
     B,
@@ -127,6 +197,7 @@ def sharded_linscan_pq(
     query_chunk: int = 1024,
     block: int = 1 << 15,
     method: str = "auto",
+    axis: str = DATA_AXIS,
 ) -> KNNResult:
     """Multi-chip PQ/OPQ scanner: shard codes, replicate subspace LUTs.
 
@@ -134,42 +205,12 @@ def sharded_linscan_pq(
     optional [n] additive distance term (e.g. +inf tombstones from
     Index.delete); it defaults to zeros.
     """
-    from local_search_quantization_tpu.parallel.mesh import replicated, shard_cols
-
-    B = np.asarray(B)
     Q = np.asarray(Q)
     if R is not None:
         Q = Q @ np.asarray(R)
-    n = B.shape[0]
-    k = min(k, n)  # padded rows must never be reported as neighbors
-    nshards = int(np.prod(list(mesh.shape.values())))
-    pad = (-n) % (nshards * block)
-    extra = (np.zeros(n, np.float32) if extra is None
-             else np.asarray(extra, np.float32))
-    if pad:
-        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
-        extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
-    Bs = shard_cols(mesh, jnp.asarray(np.ascontiguousarray(B.T)))
-    es = shard_cols(mesh, jnp.asarray(extra))
-    Cr = replicated(mesh, jnp.asarray(C_sub))
-
-    # Dispatch ALL chunks before fetching any (same queue-then-fetch
-    # pattern as ops/adc._run_scan): a host sync per chunk would serialize
-    # each shard scan against the ~35 ms dispatch+fetch RPC of a tunneled
-    # backend. Queued results are small ([query_chunk, k] x2 per chunk).
-    results, valid = [], []
-    for start in range(0, Q.shape[0], query_chunk):
-        qc = Q[start : start + query_chunk]
-        npad = query_chunk - qc.shape[0]
-        if npad:
-            qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
-        luts = pq_query_luts(replicated(mesh, jnp.asarray(qc)), Cr)
-        results.append(sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
-                                         method=method))
-        valid.append(query_chunk - npad)
-    out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
-    out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]
-    return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
+    return _sharded_linscan(mesh, B, Q, C_sub, pq_query_luts, extra, k,
+                            query_chunk=query_chunk, block=block,
+                            method=method, axis=axis)
 
 
 def sharded_linscan_lsq(
@@ -180,38 +221,19 @@ def sharded_linscan_lsq(
     db_norms,
     k: int,
     *,
+    R: Array | None = None,
     query_chunk: int = 1024,
     block: int = 1 << 15,
     method: str = "auto",
+    axis: str = DATA_AXIS,
 ) -> KNNResult:
-    """Multi-chip additive-code scanner driver (host-side query chunking)."""
-    from local_search_quantization_tpu.parallel.mesh import replicated, shard_cols
+    """Multi-chip additive-code scanner (LSQ/ChainQ + quantized norms).
 
-    B = np.asarray(B)
-    n = B.shape[0]
-    k = min(k, n)  # padded rows must never be reported as neighbors
-    nshards = int(np.prod(list(mesh.shape.values())))
-    pad = (-n) % (nshards * block)
-    extra = np.asarray(db_norms, np.float32)
-    if pad:
-        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
-        extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
-    Bs = shard_cols(mesh, jnp.asarray(np.ascontiguousarray(B.T)))
-    es = shard_cols(mesh, jnp.asarray(extra))
-    Cr = replicated(mesh, jnp.asarray(C))
-
-    # Queue-then-fetch, as in sharded_linscan_pq / ops/adc._run_scan.
-    results, valid = [], []
+    Pass R to rotate queries into the code space first (ChainQ)."""
     Q = np.asarray(Q)
-    for start in range(0, Q.shape[0], query_chunk):
-        qc = Q[start : start + query_chunk]
-        npad = query_chunk - qc.shape[0]
-        if npad:
-            qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
-        luts = lsq_query_luts(replicated(mesh, jnp.asarray(qc)), Cr)
-        results.append(sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
-                                         method=method))
-        valid.append(query_chunk - npad)
-    out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
-    out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]
-    return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
+    if R is not None:
+        Q = Q @ np.asarray(R)
+    return _sharded_linscan(mesh, B, Q, C, lsq_query_luts,
+                            np.asarray(db_norms, np.float32), k,
+                            query_chunk=query_chunk, block=block,
+                            method=method, axis=axis)

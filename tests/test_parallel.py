@@ -34,6 +34,25 @@ def test_sharded_codebook_update_matches_single(rng, mesh):
     np.testing.assert_allclose(C1, C8, rtol=2e-3, atol=2e-3)
 
 
+def test_sharded_codebook_update_nondivisible_n(rng, mesh):
+    """shard_batch pads by duplicating the last row; n_valid must mask the
+    duplicates out of the least-squares or they are double-counted."""
+    n, d, m, h = 500, 8, 3, 8  # 500 % 8 != 0 -> 4 duplicated pad rows
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    C1 = np.asarray(solver.update_codebooks(jnp.asarray(X), jnp.asarray(B), h))
+    C8 = np.asarray(sharded_update_codebooks(
+        mesh, shard_batch(mesh, jnp.asarray(X)),
+        shard_batch(mesh, jnp.asarray(B)), h, n_valid=n))
+    np.testing.assert_allclose(C1, C8, rtol=2e-3, atol=2e-3)
+    # Sanity that masking MATTERS here: without it the duplicated rows
+    # bias the solve away from the single-chip result.
+    C8_biased = np.asarray(sharded_update_codebooks(
+        mesh, shard_batch(mesh, jnp.asarray(X)),
+        shard_batch(mesh, jnp.asarray(B)), h))
+    assert np.abs(C8_biased - C1).max() > np.abs(C8 - C1).max()
+
+
 def test_sharded_ils_encode_improves_and_runs(rng, mesh):
     n, d, m, h = 512, 8, 3, 8
     X = rng.normal(size=(n, d)).astype(np.float32)
@@ -80,6 +99,26 @@ def test_sharded_query_matches_single_chip(rng, mesh):
                                 query_chunk=16, block=64)
     np.testing.assert_allclose(multi.dists, single.dists, rtol=1e-4, atol=1e-4)
     # ids may differ on exact ties; distances must agree.
+
+
+def test_sharded_query_empty_and_custom_axis(rng):
+    """nq=0 returns an empty KNNResult (no concatenate crash), and the
+    drivers honor a custom mesh axis name end-to-end."""
+    from local_search_quantization_tpu.parallel.query import sharded_linscan_pq
+
+    mesh_x = data_mesh(jax.devices()[:4], axis="x")
+    n, d, m, h = 256, 8, 2, 8
+    C_sub = (rng.normal(size=(m, h, d // m)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    empty = sharded_linscan_pq(mesh_x, B, np.empty((0, d), np.float32),
+                               jnp.asarray(C_sub), 5, block=64, axis="x")
+    assert empty.dists.shape == (0, 5) and empty.ids.shape == (0, 5)
+    Q = rng.normal(size=(6, d)).astype(np.float32)
+    res = sharded_linscan_pq(mesh_x, B, Q, jnp.asarray(C_sub), 5,
+                             query_chunk=4, block=64, axis="x")
+    single = adc.linscan_pq(B, Q, jnp.asarray(C_sub), k=5, query_chunk=4,
+                            base_block=64)
+    np.testing.assert_allclose(res.dists, single.dists, rtol=1e-4, atol=1e-4)
 
 
 def test_sharded_query_tiny_shards_k_exceeds_shard(rng, mesh):
