@@ -71,9 +71,11 @@ def train_chainq(
     if verbose:
         print(f"{-1:3d} {float(qerror(RX, B, C)):.6e}")
 
-    # Exactly config.niter update iterations (reference: chainq.jl:34-55);
-    # objs gets niter+1 entries (start-of-iteration trace + final objective).
-    for it in range(config.niter):
+    # The reference's `for iter = 0:niter` (chainq.jl:34-55) is INCLUSIVE:
+    # niter+1 update iterations, obj recorded at the start of each —
+    # matched entry-for-entry (niter+1 entries; the final update's
+    # improvement is, as in the reference, not in the trace).
+    for it in range(config.niter + 1):
         obj = float(qerror(RX, B, C))
         objs.append(obj)
         if verbose:
@@ -84,10 +86,5 @@ def train_chainq(
         RX = X @ R
         C = update_codebooks_chain(RX, B, h, ridge=config.ridge)
         B = viterbi_encode(RX, C)
-
-    obj = float(qerror(RX, B, C))
-    objs.append(obj)
-    if verbose:
-        print(f"{config.niter:3d} {obj:.6e}")
 
     return ChainQModel(C, B, R, np.asarray(objs, np.float32))

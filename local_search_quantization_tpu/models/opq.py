@@ -18,8 +18,8 @@ import jax.numpy as jnp
 from local_search_quantization_tpu.models.pq import _assign_all, quantize_pq
 from local_search_quantization_tpu.ops.kmeans import sq_distances
 from local_search_quantization_tpu.ops.subspaces import (
-    merge_subspaces,
     qerror_opq,
+    reconstruct_pq,
     split_subspaces,
 )
 from local_search_quantization_tpu.utils.config import OPQConfig
@@ -69,15 +69,8 @@ def _opq_loop(X: Array, Xs0_C: Array, B0: Array, R0: Array, niter: int, h: int):
     d = X.shape[1]
 
     def recon(C, B):
-        gathered = jax.vmap(lambda Ci, bi: jnp.take(Ci, bi, axis=0), in_axes=(0, 1))(
-            C, B
-        )  # [m, n, ds]
-        return merge_subspaces(gathered, d)  # [n, d] in rotated space
-
-    def objective(C, B, R):
-        # Objective under current (R, C, B): mean ||R cb - x||^2. Since R is
-        # orthogonal this equals mean ||cb - R^T x||^2 = mean ||cb - rx||^2.
-        return jnp.mean(jnp.sum((recon(C, B) @ R.T - X) ** 2, axis=-1))
+        # Shared padded-layout reconstruction (ops/subspaces.py).
+        return reconstruct_pq(B, C, d)  # [n, d] in rotated space
 
     def body(carry, _):
         C, B, R = carry
@@ -93,11 +86,14 @@ def _opq_loop(X: Array, Xs0_C: Array, B0: Array, R0: Array, niter: int, h: int):
         B = _assign_all(RXs, C)
         return (C, B, R), obj
 
-    # Exactly niter update iterations (reference: OPQ.jl:73-97 runs niter);
-    # obj has niter+1 entries: the trace at the start of each iteration plus
-    # the final objective.
-    (C, B, R), objs = jax.lax.scan(body, (Xs0_C, B0, R0), None, length=niter)
-    objs = jnp.append(objs, objective(C, B, R))
+    # The reference's `for iter=0:niter` (OPQ.jl:73-97) is INCLUSIVE:
+    # niter+1 update iterations, with obj[iter] recorded at the START of
+    # each — matched here entry-for-entry (obj has niter+1 entries and the
+    # final update's improvement is, as in the reference, not in the
+    # trace).
+    (C, B, R), objs = jax.lax.scan(
+        body, (Xs0_C, B0, R0), None, length=niter + 1
+    )
     return C, B, R, objs
 
 
@@ -125,11 +121,16 @@ def train_opq(
         raise ValueError(f"unknown OPQ init {config.init!r}")
 
     RXs = split_subspaces(X @ R, m)
-    # Initialize centers by sampling h distinct training vectors per subspace
-    # (OPQ.jl:61-64).
+    # Initialize centers by sampling h distinct training vectors per
+    # subspace, with an INDEPENDENT draw per subspace (the reference draws
+    # `perm = sample(1:n, h)` inside the per-subspace loop, OPQ.jl:51-54;
+    # one shared permutation would correlate the initial centers across
+    # subspaces).
     key, sub = jax.random.split(key)
-    perm = jax.random.permutation(sub, n)[:h]
-    C0 = RXs[:, perm, :]
+    perms = jax.vmap(lambda k_: jax.random.permutation(k_, n)[:h])(
+        jax.random.split(sub, m)
+    )  # [m, h]
+    C0 = jax.vmap(lambda xs, p: xs[p])(RXs, perms)
     B0 = _assign_all(RXs, C0)
 
     C, B, R, objs = _opq_loop(X, C0, B0, R, config.niter, h)

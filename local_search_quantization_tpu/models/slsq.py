@@ -80,7 +80,8 @@ def train_lsq_sparse(
         print(f"Warm start error: {float(qerror(RX, B, C)):e}")
 
     def sparse_update(C_prev):
-        K = solve_l1_constrained(B, RX, h, tau, C_prev, iters=config.prox_iters)
+        K = solve_l1_constrained(B, RX, h, tau, C_prev,
+                                 iters=config.prox_iters, lr=config.prox_lr)
         return threshold_top_s(K, S)
 
     C = sparse_update(C)

@@ -67,15 +67,21 @@ def solve_l1_constrained(
     K0: Array,
     *,
     iters: int = 100,
+    lr: float | None = None,
 ) -> Array:
     """FISTA for the tau-constrained LS problem, warm-started at K0 [m, h, d].
 
+    lr: explicit step size; None uses 1/L with L estimated from the code
+    co-occurrence counts (the safe default).
     (The reference warm-starts SPGL1 at the previous codebooks and retries
     cold on failure, codebook_update_sparse.jl:54-59; FISTA has no failure
     mode to retry.)
     """
-    L = estimate_lipschitz(B, h)
-    step = 1.0 / jnp.maximum(L, 1e-12)
+    if lr is None:
+        L = estimate_lipschitz(B, h)
+        step = 1.0 / jnp.maximum(L, 1e-12)
+    else:
+        step = jnp.float32(lr)
     K0 = project_l1_ball(K0, tau)
 
     def body(carry, _):

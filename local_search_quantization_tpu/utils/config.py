@@ -41,11 +41,13 @@ class OPQConfig(PQConfig):
 
 @dataclasses.dataclass(frozen=True)
 class ChainQConfig:
+    # NOTE: no seed — the ChainQ trainer is fully deterministic (structured
+    # solve + exact Viterbi; its only stochastic input is the OPQ/PQ
+    # initialization, which carries its own seed).
     m: int = 7
     h: int = 256
     niter: int = 10
     ridge: float = 1e-4
-    seed: int = 0
 
     def __post_init__(self):
         _check_mh(self.m, self.h)

@@ -58,12 +58,17 @@ def test_build_and_serve(tmp_path, method, rng):
         xnew = rng.normal(130, 25, size=(2, 16)).astype(np.float32)
         p.stdin.write(json.dumps({"op": "add", "id": 6,
                                   "vectors": xnew.tolist()}) + "\n")
+        # Probe depth 50, not 5: at m=2, h=16 the codes are 8-bit (256
+        # cells for 1502 rows), so the inserted row's own cell can be
+        # beaten by a few closer reconstructions and sits inside a tie
+        # group that exact (dist, id) ordering breaks against the newest
+        # (largest) id — its exact rank shifts with the model stream.
         p.stdin.write(json.dumps({"id": 7, "vectors": xnew[:1].tolist(),
-                                  "k": 5}) + "\n")
+                                  "k": 50}) + "\n")
         p.stdin.write(json.dumps({"op": "delete", "id": 8,
                                   "ids": [1500]}) + "\n")
         p.stdin.write(json.dumps({"id": 9, "vectors": xnew[:1].tolist(),
-                                  "k": 5}) + "\n")
+                                  "k": 50}) + "\n")
         p.stdin.write(json.dumps({"op": "delete", "id": 10,
                                   "ids": [99999]}) + "\n")
         p.stdin.write(json.dumps({"op": "save", "id": 11}) + "\n")
@@ -102,7 +107,7 @@ def test_build_and_serve(tmp_path, method, rng):
         ready2 = json.loads(p2.stdout.readline())
         assert ready2["n"] == 1502
         p2.stdin.write(json.dumps({"id": 1, "vectors": xnew[:1].tolist(),
-                                   "k": 5}) + "\n")
+                                   "k": 50}) + "\n")
         p2.stdin.write("EOF\n")
         p2.stdin.flush()
         rr = json.loads(p2.stdout.readline())
