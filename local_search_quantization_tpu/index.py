@@ -50,6 +50,7 @@ class Index:
             raise ValueError(f"method must be one of {_METHODS}, got {method}")
         self.method = method
         self.model = model
+        self.ivf = None  # optional coarse partition (build_ivf)
         self.meta = dict(meta or {})
         self.meta.setdefault("method", method)
         # Row storage is capacity-managed (amortized doubling on add):
@@ -232,6 +233,12 @@ class Index:
             meta["cbnorms"] = np.asarray(codes["cbnorms"]).tolist()
         idx = cls(meta["method"], model, B, bnorm=codes.get("bnorm"),
                   tomb=codes.get("tomb"), meta=meta)
+        ivf_path = os.path.join(path, "ivf.npz")
+        if os.path.exists(ivf_path):
+            from local_search_quantization_tpu.ivf import IVFPartition
+
+            with np.load(ivf_path) as z:
+                idx.ivf = IVFPartition.from_arrays(dict(z))
         idx._loaded_from = path  # lets save(path) skip the frozen model
         return idx
 
@@ -260,6 +267,14 @@ class Index:
         ckpt.save_codes(tmp, self.B.astype(np.int32, copy=False), extra_cols)
         out = os.path.join(path, "codes.npz")
         os.replace(tmp, out)
+        ivf_path = os.path.join(path, "ivf.npz")
+        if self.ivf is not None:
+            ivf_tmp = os.path.join(path, "ivf.tmp.npz")
+            np.savez(ivf_tmp, **self.ivf.to_arrays())
+            # np.savez appends .npz to a non-.npz name; ivf.tmp.npz keeps it.
+            os.replace(ivf_tmp, ivf_path)
+        elif os.path.exists(ivf_path):
+            os.remove(ivf_path)  # partition was dropped (e.g. compact)
         meta = {k: v for k, v in self.meta.items() if k != "cbnorms"}
         meta["n"] = self.n
         meta_tmp = os.path.join(path, "meta.tmp.json")
@@ -297,19 +312,125 @@ class Index:
 
     # -- operations ---------------------------------------------------------
 
-    def search(self, Q, k: int = 100, *, mesh=None) -> adc.KNNResult:
-        """Exact ADC k-NN. Beyond `active` rows, results pad with the
+    def _reconstructions(self) -> np.ndarray:
+        """[n, d] f32 code reconstructions in ORIGINAL space, chunked so
+        one jitted program covers every block. The IVF coarse quantizer
+        partitions these (the ADC distance of a row is a function of its
+        reconstruction only, see ivf.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from local_search_quantization_tpu.ops import costs
+        from local_search_quantization_tpu.ops.subspaces import reconstruct_pq
+
+        model, d = self.model, self.d
+        if self.additive:
+            base = lambda b: costs.reconstruct(b, jnp.asarray(model.C))
+        else:
+            base = lambda b: reconstruct_pq(b, jnp.asarray(model.C_sub), d)
+        if self.method in ("opq", "chainq"):
+            # These models quantize in rotated space: xhat = recon @ R^T.
+            Rt = jnp.asarray(np.asarray(model.R, np.float32)).T
+            fn = lambda b: base(b) @ Rt
+        else:
+            fn = base
+        fn = jax.jit(fn)
+        out = np.empty((self.n, d), np.float32)
+        B = self.B.astype(np.int32, copy=False)
+        ch = 1 << 16
+        for s0 in range(0, self.n, ch):
+            s1 = min(s0 + ch, self.n)
+            blk = B[s0:s1]
+            if blk.shape[0] < ch:  # pad so every block hits one executable
+                blk = np.concatenate(
+                    [blk, np.zeros((ch - blk.shape[0], blk.shape[1]),
+                                   np.int32)])
+            out[s0:s1] = np.asarray(fn(jnp.asarray(blk)))[: s1 - s0]
+        return out
+
+    def build_ivf(self, nlist: int = 1024, *, sample: int = 1 << 18,
+                  iters: int = 25, seed: int = 0) -> None:
+        """Build (or rebuild) the IVF coarse partition over all current
+        rows; afterwards search(..., nprobe=p) scans only the p nearest
+        lists per query plus any rows added later (the exhaustive tail).
+        """
+        from local_search_quantization_tpu import ivf as ivf_mod
+
+        extra = self._dbn if self.additive else self._extra
+        self.ivf = ivf_mod.build_partition(
+            self.B, self._reconstructions(), extra, nlist,
+            seed=seed, sample=sample, iters=iters)
+        self.meta["ivf_nlist"] = int(nlist)
+
+    def _query_luts(self, Q: np.ndarray) -> np.ndarray:
+        """[nq, m, h] ADC tables with the exhaustive linscans' semantics
+        (L2 LUTs for pq/opq over rotated queries; -2<q,c> inner-product
+        LUTs for the additive methods, norms carried separately)."""
+        model = self.model
+        if self.additive:
+            Qr = Q @ np.asarray(model.R, np.float32) \
+                if self.method == "chainq" else Q
+            return np.asarray(adc.lsq_query_luts(Qr, model.C), np.float32)
+        Qr = Q @ np.asarray(model.R, np.float32) \
+            if self.method == "opq" else Q
+        return np.asarray(adc.pq_query_luts(Qr, model.C_sub), np.float32)
+
+    def _search_ivf(self, Q: np.ndarray, k: int, nprobe: int) -> adc.KNNResult:
+        from local_search_quantization_tpu import ivf as ivf_mod
+
+        part = self.ivf
+        probes = ivf_mod.coarse_probes(Q, part, nprobe)
+        res = ivf_mod.search(part, self._query_luts(Q), k, probes)
+        ntail = self.n - part.n_grouped
+        if ntail == 0:
+            return res
+        # Rows added after the partition was built: exhaustive scan + merge
+        # (kept exact so recent inserts never fall out of the candidates).
+        t0 = part.n_grouped
+        model = self.model
+        kt = min(k, ntail)
+        if self.additive:
+            R = np.asarray(model.R) if self.method == "chainq" else None
+            tail = adc.linscan_lsq(self.B[t0:], Q, model.C, self._dbn[t0:],
+                                   k=kt, R=R)
+        elif self.method == "opq":
+            ex = None if self._extra is None else self._extra[t0:]
+            tail = adc.linscan_opq(self.B[t0:], Q, model.C_sub, model.R,
+                                   k=kt, extra=ex)
+        else:
+            ex = None if self._extra is None else self._extra[t0:]
+            tail = adc.linscan_pq(self.B[t0:], Q, model.C_sub, k=kt,
+                                  extra=ex)
+        tail = adc.KNNResult(tail.dists, np.where(
+            tail.ids >= 0, tail.ids + t0, tail.ids))
+        return ivf_mod.merge_knn(res, tail, k)
+
+    def search(self, Q, k: int = 100, *, mesh=None,
+               nprobe: int | None = None) -> adc.KNNResult:
+        """ADC k-NN. Beyond `active` rows, results pad with the
         (+inf, -1) sentinel.
 
         mesh: an optional `jax.sharding.Mesh` — the database axis is
         sharded across its devices and each shard's top-k is merged
         (parallel/query.py), the multi-chip serving path.
+        nprobe: with a built IVF partition (build_ivf), scan only the
+        nprobe nearest coarse lists per query (plus rows added since the
+        partition) — approximate with exact distances over the candidate
+        set; recall -> exhaustive as nprobe -> nlist. None/0 = exhaustive.
         """
         Q = np.asarray(Q, np.float32)
         if Q.ndim != 2 or Q.shape[1] != self.d:
             raise ValueError(f"queries must be [nq, {self.d}], got {Q.shape}")
         if not 1 <= k <= self.n:
             raise ValueError(f"k={k} out of range [1, {self.n}]")
+        if nprobe:
+            if self.ivf is None:
+                raise ValueError("nprobe given but no IVF partition; call "
+                                 "build_ivf() first")
+            if mesh is not None:
+                raise ValueError("IVF search is a host serving path; "
+                                 "mesh sharding applies to exhaustive scans")
+            return self._search_ivf(Q, k, int(nprobe))
         model = self.model
         if mesh is not None:
             from local_search_quantization_tpu.parallel import query as pq_mod
@@ -396,6 +517,8 @@ class Index:
             if self._extra_buf is None:
                 self._extra_buf = np.zeros(self._B_buf.shape[0], np.float32)
             self._extra[ids] = np.inf
+        if self.ivf is not None:
+            self.ivf.tombstone(ids)  # mirror into the grouped store
         return int(ids.size)
 
     def compact(self) -> np.ndarray:
@@ -405,7 +528,12 @@ class Index:
         id of the row now serving as id j (the caller's handle for
         remapping any external id references). Frees the tombstones'
         memory and scan work; ids are NOT stable across a compact.
+
+        An IVF partition is keyed on the old ids, so it is dropped —
+        call build_ivf() again after compacting.
         """
+        self.ivf = None
+        self.meta.pop("ivf_nlist", None)
         keep = ~self._tomb
         old_of_new = np.flatnonzero(keep)
         self._B_buf = np.ascontiguousarray(self.B[keep])

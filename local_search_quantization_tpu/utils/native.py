@@ -50,6 +50,28 @@ def _load():
         if hasattr(lib, "lsq_linscan_fast"):
             lib.lsq_linscan_fast.restype = ctypes.c_int
             lib.lsq_linscan_fast.argtypes = lib.lsq_linscan.argtypes
+        if hasattr(lib, "lsq_linscan_ivf"):
+            lib.lsq_linscan_ivf.restype = ctypes.c_int
+            lib.lsq_linscan_ivf.argtypes = [
+                ctypes.POINTER(ctypes.c_float),   # dists out
+                ctypes.POINTER(ctypes.c_int64),   # ids out
+                ctypes.POINTER(ctypes.c_uint8),   # codes_g [n_g, m]
+                ctypes.c_void_p,                  # codesT_g [m, n_g] or NULL
+                ctypes.POINTER(ctypes.c_float),   # luts [nq, m, h]
+                ctypes.c_void_p,                  # extra_g [n_g] or NULL
+                ctypes.POINTER(ctypes.c_int64),   # order [n_g]
+                ctypes.POINTER(ctypes.c_int64),   # starts [nlist+1]
+                ctypes.POINTER(ctypes.c_int64),   # lives [nlist]
+                ctypes.POINTER(ctypes.c_int32),   # probes [nq, nprobe]
+                ctypes.c_float,                   # emin
+                ctypes.c_int64,                   # n_g
+                ctypes.c_int64,                   # nq
+                ctypes.c_int,                     # m
+                ctypes.c_int,                     # h
+                ctypes.c_int,                     # k
+                ctypes.c_int,                     # nprobe
+                ctypes.c_int64,                   # nlist
+            ]
         lib.lsq_vecs_read.restype = ctypes.c_int64
         lib.lsq_vecs_read.argtypes = [
             ctypes.c_char_p,
@@ -67,6 +89,12 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def has_ivf() -> bool:
+    """True when the built library exports the IVF segment scanner."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "lsq_linscan_ivf")
 
 
 def linscan(luts: np.ndarray, codes: np.ndarray, extra: np.ndarray | None,
@@ -119,6 +147,58 @@ def linscan(luts: np.ndarray, codes: np.ndarray, extra: np.ndarray | None,
         rc = lib.lsq_linscan(*args)
     if rc != 0:
         raise RuntimeError(f"lsq_linscan failed with code {rc}")
+    return dists, ids
+
+
+def linscan_ivf(luts: np.ndarray, codes_g: np.ndarray,
+                codesT_g: np.ndarray | None, extra_g: np.ndarray | None,
+                order: np.ndarray, starts: np.ndarray, lives: np.ndarray,
+                probes: np.ndarray, k: int, *, emin: float = 0.0):
+    """Native IVF-ADC scan over probed grouped segments (lsq_linscan_ivf).
+
+    luts [nq, m, h] f32; codes_g [n_g, m] u8 grouped by list; codesT_g
+    [m, n_g] u8 planes (None forces the scalar path); order [n_g] int64
+    original ids; starts [nlist+1] 64-aligned padded offsets; lives
+    [nlist] live rows per segment; probes [nq, nprobe] int32 list ids
+    (-1 = unused). Returns (dists [nq, k] asc, ids [nq, k] int64); short
+    result sets pad with (+inf, -1).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "lsq_linscan_ivf"):
+        raise RuntimeError("native library not built; run `make -C native`")
+    luts = np.ascontiguousarray(luts, np.float32)
+    codes_g = np.ascontiguousarray(codes_g, np.uint8)
+    nq, m, h = luts.shape
+    n_g = codes_g.shape[0]
+    assert codes_g.shape[1] == m
+    probes = np.ascontiguousarray(probes, np.int32)
+    nprobe = probes.shape[1]
+    starts = np.ascontiguousarray(starts, np.int64)
+    lives = np.ascontiguousarray(lives, np.int64)
+    order = np.ascontiguousarray(order, np.int64)
+    nlist = lives.shape[0]
+    dists = np.empty((nq, k), np.float32)
+    ids = np.empty((nq, k), np.int64)
+    if codesT_g is not None:
+        codesT_g = np.ascontiguousarray(codesT_g, np.uint8)
+        assert codesT_g.shape == (m, n_g)
+    if extra_g is not None:
+        extra_g = np.ascontiguousarray(extra_g, np.float32)
+    rc = lib.lsq_linscan_ivf(
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        codes_g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        codesT_g.ctypes.data if codesT_g is not None else None,
+        luts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        extra_g.ctypes.data if extra_g is not None else None,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lives.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        probes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        float(emin), n_g, nq, m, h, k, nprobe, nlist,
+    )
+    if rc != 0:
+        raise RuntimeError(f"lsq_linscan_ivf failed with code {rc}")
     return dists, ids
 
 

@@ -424,6 +424,228 @@ int lsq_linscan_fast(float* dists, int64_t* ids, const uint8_t* codes,
 #endif
 }
 
+// IVF-ADC scan: probe only the coarse lists named per query, scanning
+// their contiguous row segments of a grouped code store. Beyond the
+// reference (whose scanners are exhaustive, linscan_aqd.cpp:37-102): this
+// is the standard production serving path — candidate work drops by
+// ~nlist/nprobe at a recall cost set by the coarse quantizer.
+//
+//   dists/ids : out [nq, k]; short result sets pad with (+inf, -1).
+//   codes_g   : in [n_g, m] u8 row-major, rows grouped by list (scalar path)
+//   codesT_g  : in [m, n_g] u8 plane-major (VBMI path), or nullptr to
+//               force the scalar path
+//   luts      : in [nq, m, h] f32
+//   extra_g   : in [n_g] f32 grouped norm terms / +inf tombstones, or null
+//   order     : in [n_g] int64 original row ids (pad rows hold -1; pads are
+//               excluded by `lives`, never scanned or emitted)
+//   starts    : in [nlist+1] int64 padded segment offsets, 64-aligned
+//   lives     : in [nlist] int64 live (unpadded) rows per segment
+//   probes    : in [nq, nprobe] int32 list ids, -1 = unused slot; a query's
+//               probe slots must be distinct (duplicates would duplicate
+//               candidates)
+//   emin      : lower bound of the finite extra_g values (0 when null) —
+//               computed once at partition build; deletes only raise the
+//               true minimum, so a stale bound stays valid.
+//
+// Results are exact over the probed segments: quantized sums only PRUNE
+// (certified lower bound, same argument as lsq_linscan_fast); accepts are
+// exact f32 through the same TopK. Ties at the k-th boundary resolve by
+// probe order (the exhaustive scanners resolve by row order).
+// Returns 0 ok, 1 bad args.
+int lsq_linscan_ivf(float* dists, int64_t* ids_out, const uint8_t* codes_g,
+                    const uint8_t* codesT_g, const float* luts,
+                    const float* extra_g, const int64_t* order,
+                    const int64_t* starts, const int64_t* lives,
+                    const int32_t* probes, float emin, int64_t n_g,
+                    int64_t nq, int m, int h, int k, int nprobe,
+                    int64_t nlist) {
+  if (m <= 0 || h <= 0 || k <= 0 || nprobe <= 0 || nlist <= 0) return 1;
+  for (int64_t p = 0; p <= nlist; ++p)
+    if (starts[p] % 64 || starts[p] > n_g || (p && starts[p] < starts[p - 1]))
+      return 1;
+  auto fill = adc_block<0>;
+  if (m == 7) fill = adc_block<7>;
+  if (m == 8) fill = adc_block<8>;
+  if (m == 15) fill = adc_block<15>;
+  if (m == 16) fill = adc_block<16>;
+
+  bool heap_mode = k <= 256;
+  if (const char* e = std::getenv("LSQ_NATIVE_TOPK")) {
+    if (std::strcmp(e, "heap") == 0) heap_mode = true;
+    if (std::strcmp(e, "buf") == 0) heap_mode = false;
+  }
+
+#ifdef LSQ_HAVE_VBMI
+  const bool use_vbmi = codesT_g != nullptr && m <= 32;
+  const int hc = h < 256 ? h : 256;
+  // Shared u8 quantization step across every query of the call (same
+  // contract as lsq_linscan_fast so the pruning-bound proof carries over).
+  std::vector<float> lut_min;
+  double s = 0.0;
+  if (use_vbmi) {
+    lut_min.resize((size_t)nq * m);
+    double max_span = 0.0;
+    for (int64_t qj = 0; qj < nq * (int64_t)m; ++qj) {
+      const float* l = luts + qj * (int64_t)h;
+      float lo = l[0], hi = l[0];
+      for (int v = 1; v < hc; ++v) {
+        lo = std::min(lo, l[v]);
+        hi = std::max(hi, l[v]);
+      }
+      lut_min[qj] = lo;
+      max_span = std::max(max_span, (double)hi - (double)lo);
+    }
+    s = max_span > 0 ? 255.0 / max_span : 0.0;
+  }
+#else
+  const bool use_vbmi = false;
+#endif
+
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int64_t q = 0; q < nq; ++q) {
+    const float* lut = luts + q * (int64_t)m * h;
+    TopK tk;
+    tk.init(k, heap_mode);
+    const int32_t* pr = probes + q * (int64_t)nprobe;
+
+#ifdef LSQ_HAVE_VBMI
+    if (use_vbmi) {
+      alignas(64) uint8_t tbl[32][256];
+      double offq = extra_g ? (double)emin : 0.0;
+      for (int j = 0; j < m; ++j) {
+        const float mn = lut_min[q * m + j];
+        offq += (double)mn;
+        for (int v = 0; v < hc; ++v) {
+          const double t = ((double)lut[(int64_t)j * h + v] - (double)mn) * s;
+          tbl[j][v] = (uint8_t)(t >= 255.0 ? 255 : (t <= 0 ? 0 : (int)t));
+        }
+        for (int v = hc; v < 256; ++v) tbl[j][v] = 255;
+      }
+      const double eq_cap = 65535.0 - 255.0 * m;
+
+      for (int pi = 0; pi < nprobe; ++pi) {
+        const int32_t p = pr[pi];
+        if (p < 0) continue;
+        if (p >= nlist) continue;
+        const int64_t s0 = starts[p];
+        const int64_t live = lives[p];
+        for (int64_t r = s0; r < s0 + live; r += 64) {
+          const int64_t in_chunk = std::min<int64_t>(64, s0 + live - r);
+          // Same screen as lsq_linscan_fast's main loop, with two IVF
+          // deltas: the norm term quantizes inline per chunk (the scale s
+          // is per-call, so a persistent eq[] would rebuild O(n_g) work
+          // per call this entry exists to avoid), and a live-mask drops
+          // the segment's alignment-pad lanes.
+          const double td = ((double)tk.thresh - offq) * s;
+          bool take_all = false;
+          uint32_t tq = 0;
+          if (!((double)tk.thresh > offq)) {
+            continue;
+          } else if (s == 0.0 || td >= 65532.0 - m) {
+            take_all = true;
+          } else {
+            tq = (uint32_t)td + (uint32_t)m + 2;
+          }
+
+          __m512i sum_lo, sum_hi;
+          if (extra_g) {
+            alignas(64) uint16_t eq[64];
+            for (int i = 0; i < 64; ++i) {
+              const double v =
+                  ((double)extra_g[r + (i < in_chunk ? i : 0)] -
+                   (double)emin) * s;
+              eq[i] = (uint16_t)(v <= 0 ? 0 : (v >= eq_cap ? eq_cap : v));
+            }
+            sum_lo = _mm512_load_si512((const void*)eq);
+            sum_hi = _mm512_load_si512((const void*)(eq + 32));
+          } else {
+            sum_lo = _mm512_setzero_si512();
+            sum_hi = _mm512_setzero_si512();
+          }
+          for (int j = 0; j < m; ++j) {
+            const __m512i t0 = _mm512_load_si512((const void*)tbl[j]);
+            const __m512i t1 = _mm512_load_si512((const void*)(tbl[j] + 64));
+            const __m512i t2 = _mm512_load_si512((const void*)(tbl[j] + 128));
+            const __m512i t3 = _mm512_load_si512((const void*)(tbl[j] + 192));
+            const __m512i idx = _mm512_loadu_si512(
+                (const void*)(codesT_g + (size_t)j * n_g + r));
+            const __m512i rlo = _mm512_permutex2var_epi8(t0, idx, t1);
+            const __m512i rhi = _mm512_permutex2var_epi8(t2, idx, t3);
+            const __mmask64 top = _mm512_movepi8_mask(idx);
+            const __m512i res = _mm512_mask_blend_epi8(top, rlo, rhi);
+            sum_lo = _mm512_add_epi16(
+                sum_lo, _mm512_cvtepu8_epi16(_mm512_castsi512_si256(res)));
+            sum_hi = _mm512_add_epi16(
+                sum_hi,
+                _mm512_cvtepu8_epi16(_mm512_extracti64x4_epi64(res, 1)));
+          }
+          uint32_t mlo, mhi;
+          if (take_all) {
+            mlo = mhi = 0xFFFFFFFFu;
+          } else {
+            const __m512i tqv = _mm512_set1_epi16((short)(uint16_t)tq);
+            mlo = (uint32_t)_mm512_cmplt_epu16_mask(sum_lo, tqv);
+            mhi = (uint32_t)_mm512_cmplt_epu16_mask(sum_hi, tqv);
+          }
+          if (in_chunk < 64) {  // mask the alignment-pad lanes out
+            const uint64_t lm =
+                in_chunk >= 64 ? ~0ULL : ((1ULL << in_chunk) - 1);
+            mlo &= (uint32_t)lm;
+            mhi &= (uint32_t)(lm >> 32);
+          }
+          while (mlo | mhi) {
+            int64_t row;
+            if (mlo) {
+              row = r + __builtin_ctz(mlo);
+              mlo &= mlo - 1;
+            } else {
+              row = r + 32 + __builtin_ctz(mhi);
+              mhi &= mhi - 1;
+            }
+            float d = 0.f;
+            for (int j = 0; j < m; ++j)
+              d += lut[(int64_t)j * h + codesT_g[(size_t)j * n_g + row]];
+            if (extra_g) d += extra_g[row];
+            if (d < tk.thresh) tk.add(d, order[row]);
+          }
+        }
+      }
+    } else
+#endif
+    {
+      // Scalar path: the shared blocked two-phase loop per probed
+      // segment, with original-id translation at accept time.
+      struct MapSink {
+        TopK& tk;
+        const int64_t* order;
+        float thresh;
+        inline void add(float d, int64_t row) {
+          tk.add(d, order[row]);
+          thresh = tk.thresh;
+        }
+      } sink{tk, order, tk.thresh};
+      for (int pi = 0; pi < nprobe; ++pi) {
+        const int32_t p = pr[pi];
+        if (p < 0 || p >= nlist) continue;
+        sink.thresh = tk.thresh;
+        scan_range_exact(fill, extra_g, sink, starts[p],
+                         starts[p] + lives[p], codes_g, lut, m, h);
+      }
+    }
+
+    tk.finish();
+    float* dq = dists + q * (int64_t)k;
+    int64_t* iq = ids_out + q * (int64_t)k;
+    const int64_t got = (int64_t)tk.buf.size();
+    for (int64_t j = 0; j < k; ++j) {
+      dq[j] = j < got ? tk.buf[j].first
+                      : std::numeric_limits<float>::infinity();
+      iq[j] = j < got ? tk.buf[j].second : -1;
+    }
+  }
+  return 0;
+}
+
 // Bulk TEXMEX reader. Each record: int32 dim header + dim * scalar_bytes.
 //   out      : caller-allocated, count * dim * scalar_bytes bytes
 //   dim_out  : receives the per-record dimension

@@ -1,0 +1,181 @@
+"""IVF coarse-partition serving layer (ivf.py + native lsq_linscan_ivf).
+
+Beyond the reference (its scanners are exhaustive, Linscan.jl:5-73).
+Oracle strategy: at nprobe = nlist every live row is a candidate, so the
+result distances must match the exhaustive scanner's exactly (ties can
+reorder ids between equal distances — the assertions are tie-robust: exact
+distance arrays plus per-id recomputed-distance checks).
+"""
+
+import numpy as np
+import pytest
+
+from local_search_quantization_tpu import ivf
+from local_search_quantization_tpu.index import Index
+from local_search_quantization_tpu.ops import adc
+from local_search_quantization_tpu.utils import native
+
+
+def _mk_clustered(rng, n, d, ncl=12, spread=0.35):
+    centers = rng.normal(size=(ncl, d)).astype(np.float32) * 3.0
+    lab = rng.integers(0, ncl, size=n)
+    X = centers[lab] + rng.normal(size=(n, d)).astype(np.float32) * spread
+    return X.astype(np.float32)
+
+
+def _oracle_dist(part, luts, q, oid):
+    """Recompute the exact ADC distance of original id oid for query q."""
+    pos = part.pos_of_id[oid]
+    d = sum(float(luts[q, j, part.codes_g[pos, j]])
+            for j in range(luts.shape[1]))
+    if part.extra_g is not None:
+        d += float(part.extra_g[pos])
+    return np.float32(d)
+
+
+@pytest.fixture(scope="module")
+def pq_index(rng_module):
+    X = _mk_clustered(rng_module, 3000, 16)
+    idx = Index.build(X[:800], X, "pq", m=2, h=16, niter=4)
+    idx.build_ivf(nlist=8, sample=2000, iters=10, seed=0)
+    return idx, X
+
+
+@pytest.fixture(scope="module")
+def rng_module():
+    return np.random.default_rng(11)
+
+
+def test_full_probe_matches_exhaustive(pq_index, rng_module):
+    idx, X = pq_index
+    Q = X[rng_module.integers(0, X.shape[0], 32)] + 0.01
+    ex = idx.search(Q, k=25)
+    iv = idx.search(Q, k=25, nprobe=idx.ivf.nlist)
+    np.testing.assert_array_equal(np.asarray(ex.dists), iv.dists)
+    luts = idx._query_luts(Q)
+    for q in range(Q.shape[0]):
+        for j in range(25):
+            oid = iv.ids[q, j]
+            assert 0 <= oid < idx.n
+            np.testing.assert_allclose(
+                _oracle_dist(idx.ivf, luts, q, oid), iv.dists[q, j],
+                rtol=1e-6, atol=1e-5)
+
+
+def test_numpy_and_native_paths_agree(pq_index, rng_module):
+    idx, X = pq_index
+    Q = X[rng_module.integers(0, X.shape[0], 16)]
+    luts = idx._query_luts(Q)
+    probes = ivf.coarse_probes(Q, idx.ivf, 3)
+    a = ivf.search(idx.ivf, luts, 10, probes, method="numpy")
+    if not native.has_ivf():
+        pytest.skip("native library without lsq_linscan_ivf")
+    b = ivf.search(idx.ivf, luts, 10, probes)
+    np.testing.assert_array_equal(a.dists, b.dists)
+    # Ids agree wherever the distance is locally unique.
+    uniq = np.ones_like(a.dists, bool)
+    uniq[:, 1:] &= a.dists[:, 1:] != a.dists[:, :-1]
+    uniq[:, :-1] &= a.dists[:, :-1] != a.dists[:, 1:]
+    np.testing.assert_array_equal(a.ids[uniq], b.ids[uniq])
+
+
+def test_partial_probe_recall_and_validity(pq_index, rng_module):
+    idx, X = pq_index
+    Q = X[rng_module.integers(0, X.shape[0], 64)]
+    ex = idx.search(Q, k=10)
+    iv = idx.search(Q, k=10, nprobe=2)
+    luts = idx._query_luts(Q)
+    hits = 0
+    for q in range(Q.shape[0]):
+        assert list(iv.dists[q]) == sorted(iv.dists[q])
+        for j in range(10):
+            if iv.ids[q, j] < 0:
+                assert np.isinf(iv.dists[q, j])
+                continue
+            np.testing.assert_allclose(
+                _oracle_dist(idx.ivf, luts, q, iv.ids[q, j]),
+                iv.dists[q, j], rtol=1e-6, atol=1e-5)
+        hits += len(set(np.asarray(ex.ids[q])) & set(iv.ids[q])) / 10
+    # Clustered data + self-queries: 2/8 lists must recover most of top-10.
+    assert hits / Q.shape[0] > 0.7
+
+
+def test_add_delete_and_tail(pq_index, rng_module):
+    idx, X = pq_index
+    n0 = idx.n
+    xnew = _mk_clustered(rng_module, 3, 16)
+    new_ids = idx.add(xnew)
+    try:
+        # Tail rows are scanned exhaustively: even nprobe=1 must see them.
+        r = idx.search(xnew, k=5, nprobe=1)
+        for i, oid in enumerate(new_ids):
+            assert oid in r.ids[i], (oid, r.ids[i])
+        # Tombstone one grouped row and one tail row; both must vanish.
+        old = r.ids[0][(r.ids[0] >= 0) & (r.ids[0] < n0)]
+        victim_grouped = int(old[0]) if old.size else 0
+        idx.delete([victim_grouped, new_ids[0]])
+        r2 = idx.search(xnew, k=5, nprobe=idx.ivf.nlist)
+        assert new_ids[0] not in r2.ids[0]
+        assert victim_grouped not in r2.ids.ravel()
+    finally:
+        # Restore module-scoped index state for other tests.
+        idx._num = n0
+        idx._tomb_buf[:] = False
+        if idx._extra_buf is not None:
+            idx._extra_buf[:] = 0.0
+        if idx.ivf.extra_g is not None:
+            idx.ivf.extra_g[:] = 0.0
+
+
+def test_save_load_roundtrip(pq_index, tmp_path, rng_module):
+    idx, X = pq_index
+    p = str(tmp_path / "idx_ivf")
+    idx.save(p)
+    idx2 = Index.load(p)
+    assert idx2.ivf is not None and idx2.ivf.nlist == idx.ivf.nlist
+    Q = X[:8]
+    a = idx.search(Q, k=10, nprobe=3)
+    b = idx2.search(Q, k=10, nprobe=3)
+    np.testing.assert_array_equal(a.dists, b.dists)
+    np.testing.assert_array_equal(a.ids, b.ids)
+
+
+def test_compact_drops_partition(rng_module):
+    X = _mk_clustered(rng_module, 600, 8, ncl=4)
+    idx = Index.build(X[:300], X, "pq", m=2, h=16, niter=2)
+    idx.build_ivf(nlist=4, sample=500, iters=5)
+    idx.delete([5])
+    idx.compact()
+    assert idx.ivf is None
+    with pytest.raises(ValueError, match="build_ivf"):
+        idx.search(X[:2], k=3, nprobe=2)
+
+
+def test_additive_ivf_lsq_norms(rng_module):
+    """Additive codes carry the quantized-norm extra term; full-probe IVF
+    must reproduce the exhaustive additive scan's distances exactly."""
+    X = _mk_clustered(rng_module, 1200, 16, ncl=6)
+    idx = Index.build(X[:400], X, "lsq", m=2, h=16, niter=2, ilsiter=2)
+    idx.build_ivf(nlist=4, sample=800, iters=5)
+    Q = X[rng_module.integers(0, X.shape[0], 12)]
+    ex = idx.search(Q, k=15)
+    iv = idx.search(Q, k=15, nprobe=4)
+    np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_pads_never_returned(pq_index, rng_module):
+    """k larger than the probed live rows: sentinel padding, never -1 ids
+    with finite distances, never pad rows."""
+    idx, X = pq_index
+    part = idx.ivf
+    smallest = int(np.argmin(part.lives))
+    Q = X[:4]
+    luts = idx._query_luts(Q)
+    probes = np.full((4, 1), smallest, np.int32)
+    k = int(part.lives[smallest]) + 8
+    res = ivf.search(part, luts, k, probes)
+    got = int(part.lives[smallest])
+    assert (res.ids[:, got:] == -1).all()
+    assert np.isinf(res.dists[:, got:]).all()
+    assert (res.ids[:, :got] >= 0).all()
