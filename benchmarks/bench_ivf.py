@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""IVF-ADC serving bench at SIFT1M scale: qps + recall vs nprobe.
+
+Runs the native IVF scanner (lsq_linscan_ivf, AVX-512 VBMI chunks) on the
+corpus-v4 synthetic SIFT (the paper-repro corpus, .corpus_v4_paper.npz)
+with 64-bit PQ codes, against the exhaustive native scanner as both the
+qps baseline and the ADC recall ceiling. Everything is host/CPU — the
+point of this layer is serving without a TPU (the reference's linscan
+analog is also host C++, Linscan.jl:5 -> linscan_aqd.cpp).
+
+Stages cache to --cache so reruns skip train/encode/partition.
+
+Run from the repo root:
+    python -m benchmarks.bench_ivf [--nq 1000] [--nlist 1024]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default=".corpus_v4_paper.npz")
+    ap.add_argument("--cache", default="/tmp/ivf_bench_cache")
+    ap.add_argument("--nq", type=int, default=1000)
+    ap.add_argument("--nlist", type=int, default=1024)
+    ap.add_argument("--sample", type=int, default=1 << 17)
+    ap.add_argument("--kmeans-iters", type=int, default=15)
+    ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--out", default="ivf_curve.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from local_search_quantization_tpu import ivf
+    from local_search_quantization_tpu.models.pq import quantize_pq, train_pq
+    from local_search_quantization_tpu.ops import adc
+    from local_search_quantization_tpu.ops.subspaces import reconstruct_pq
+    from local_search_quantization_tpu.utils import native
+    from local_search_quantization_tpu.utils.config import PQConfig
+
+    assert native.has_ivf(), "build the native library: make -C native"
+    os.makedirs(args.cache, exist_ok=True)
+    z = np.load(args.corpus)
+    xt, xb = z["train"], z["base"]
+    xq, gt = z["query"][: args.nq], z["gt"][: args.nq]
+    n, d = xb.shape
+    m, h = 8, 256
+
+    codes_path = os.path.join(args.cache, "pq_codes.npz")
+    if os.path.exists(codes_path):
+        cz = np.load(codes_path)
+        C_sub, B = cz["C_sub"], cz["B"]
+        print(f"[ivf-bench] code cache hit: {codes_path}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        model = train_pq(xt, PQConfig(m=m, h=h, kmeans_maxiter=25, seed=0))
+        t1 = time.perf_counter()
+        B = np.empty((n, m), np.int32)
+        for s0 in range(0, n, 1 << 17):
+            s1 = min(s0 + (1 << 17), n)
+            B[s0:s1] = np.asarray(quantize_pq(xb[s0:s1], model.C_sub))
+        t2 = time.perf_counter()
+        C_sub = np.asarray(model.C_sub)
+        np.savez(codes_path, C_sub=C_sub, B=B)
+        print(f"[ivf-bench] PQ train {t1 - t0:.1f}s encode {t2 - t1:.1f}s",
+              flush=True)
+
+    part_path = os.path.join(args.cache, f"part_{args.nlist}.npz")
+    if os.path.exists(part_path):
+        with np.load(part_path) as pz:
+            part = ivf.IVFPartition.from_arrays(dict(pz))
+        build_s = float(np.load(part_path)["build_s"])
+        print(f"[ivf-bench] partition cache hit: {part_path}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        xhat = np.empty((n, d), np.float32)
+        for s0 in range(0, n, 1 << 17):
+            s1 = min(s0 + (1 << 17), n)
+            xhat[s0:s1] = np.asarray(
+                reconstruct_pq(B[s0:s1], C_sub, d))
+        part = ivf.build_partition(
+            B, xhat, None, args.nlist, seed=0, sample=args.sample,
+            iters=args.kmeans_iters)
+        build_s = time.perf_counter() - t0
+        np.savez(part_path, build_s=np.float64(build_s),
+                 **part.to_arrays())
+        print(f"[ivf-bench] partition built in {build_s:.1f}s", flush=True)
+
+    luts = np.asarray(adc.pq_query_luts(xq, C_sub), np.float32)
+    codes_u8 = np.ascontiguousarray(B, np.uint8)
+    k = args.k
+
+    def recalls(ids):
+        return {f"r@{nn}": round(float(
+            np.mean([gt[q] in ids[q, :nn] for q in range(args.nq)])), 4)
+            for nn in (1, 10, 100) if nn <= k}
+
+    def timeit(fn):
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return out, args.nq / best
+
+    # Exhaustive native scan: the qps baseline AND the ADC recall ceiling.
+    (ed, ei), ex_qps = timeit(
+        lambda: native.linscan(luts, codes_u8, None, k))
+    results = {
+        "n": n, "nq": args.nq, "k": k, "m": m, "h": h,
+        "nlist": args.nlist, "partition_build_s": round(build_s, 1),
+        "exhaustive": {"qps": round(ex_qps, 1), **recalls(ei)},
+        "sweep": [],
+    }
+    print(json.dumps({"exhaustive": results["exhaustive"]}), flush=True)
+
+    for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
+        if nprobe > args.nlist:
+            break
+        probes = ivf.coarse_probes(xq, part, nprobe)
+
+        def run():
+            return ivf.search(part, luts, k, probes)
+
+        res, qps = timeit(run)
+        # Fraction of the exhaustive ADC top-k the probe-limited scan kept.
+        vs_adc = float(np.mean([
+            len(set(ei[q]) & set(res.ids[q])) / k for q in range(args.nq)]))
+        row = {"nprobe": nprobe, "qps": round(qps, 1),
+               "speedup": round(qps / ex_qps, 2),
+               "adc_top{}_kept".format(k): round(vs_adc, 4),
+               **recalls(res.ids)}
+        results["sweep"].append(row)
+        print(json.dumps(row), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"[ivf-bench] wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,9 @@ def main():
                     help="ILS rounds for the lsq base encode")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--synth-d", type=int, default=128)
+    ap.add_argument("--ivf-nlist", type=int, default=None,
+                    help="also build an IVF coarse partition with this many "
+                         "lists (serve with per-request nprobe)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -74,6 +77,8 @@ def main():
         ilsiter=args.ilsiter, seed=args.seed, verbose=True,
         meta={"dataset": dataset},
     )
+    if args.ivf_nlist:
+        idx.build_ivf(args.ivf_nlist, seed=args.seed)
     idx.meta["build_s"] = round(time.time() - t0, 1)
     idx.save(args.out)
     shown = {k: v for k, v in idx.meta.items() if k != "cbnorms"}

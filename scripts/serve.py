@@ -9,9 +9,13 @@ readiness (after the warm-up batch has compiled the query program):
 
 then one response per request line:
 
-    query:    {"id": 7, "vectors": [[...d floats...], ...], "k": 100}
+    query:    {"id": 7, "vectors": [[...d floats...], ...], "k": 100,
+               "nprobe": 32}
            -> {"id": 7, "ids": [[...k ints...], ...],
                "dists": [[...k floats...], ...]}
+              (nprobe only with an IVF partition in the index — scan the
+              nprobe nearest coarse lists instead of everything; omit or
+              0 for the exhaustive scan; --nprobe sets the default)
     insert:   {"op": "add", "id": 8, "vectors": [[...], ...]}
            -> {"id": 8, "added": [n0, n0+1, ...], "n": new_total}
               (encodes with the FROZEN trained model — PQ/OPQ subspace
@@ -52,6 +56,9 @@ def main():
                     help="index directory from scripts/build_index.py")
     ap.add_argument("--k", type=int, default=100,
                     help="default neighbors per query (request may override)")
+    ap.add_argument("--nprobe", type=int, default=0,
+                    help="default IVF probe count; 0 = exhaustive "
+                         "(request may override; needs --ivf-nlist at build)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the compile-triggering dummy batch")
@@ -68,7 +75,9 @@ def main():
         idx.search(np.zeros((1, idx.d), np.float32), min(args.k, idx.n))
 
     print(json.dumps({"ready": True, "method": idx.method, "n": idx.n,
-                      "k": args.k}), flush=True)
+                      "k": args.k,
+                      "ivf_nlist": idx.ivf.nlist if idx.ivf else None}),
+          flush=True)
 
     for line in sys.stdin:
         line = line.strip()
@@ -94,7 +103,9 @@ def main():
                 out = {"id": req.get("id"), "added": added, "n": idx.n}
             elif op == "query":
                 res = idx.search(req["vectors"],
-                                 int(req.get("k", args.k)))
+                                 int(req.get("k", args.k)),
+                                 nprobe=int(req.get("nprobe", args.nprobe))
+                                 or None)
                 out = {"id": req.get("id"),
                        "ids": np.asarray(res.ids).tolist(),
                        "dists": np.asarray(res.dists).tolist()}

@@ -179,3 +179,45 @@ def test_pads_never_returned(pq_index, rng_module):
     assert (res.ids[:, got:] == -1).all()
     assert np.isinf(res.dists[:, got:]).all()
     assert (res.ids[:, :got] >= 0).all()
+
+
+def test_build_and_serve_with_ivf(tmp_path):
+    """build_index.py --ivf-nlist -> serve.py: the nprobe protocol path."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "idx_ivf")
+    subprocess.run(
+        [sys.executable, "scripts/build_index.py", "--method", "pq",
+         "--out", out, "--dataset", "synthetic", "--synth-d", "16",
+         "--ntrain", "400", "--nbase", "1500", "--m", "2", "--h", "16",
+         "--niter", "2", "--ivf-nlist", "8", "--platform", "cpu"],
+        cwd=repo, check=True, capture_output=True, timeout=600)
+    assert os.path.exists(os.path.join(out, "ivf.npz"))
+    p = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--index", out, "--k", "5",
+         "--platform", "cpu"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=repo)
+    try:
+        ready = json.loads(p.stdout.readline())
+        assert ready["ivf_nlist"] == 8
+        q = np.full((2, 16), 120.0).tolist()
+        p.stdin.write(json.dumps({"id": 1, "vectors": q}) + "\n")
+        p.stdin.write(json.dumps({"id": 2, "vectors": q, "nprobe": 8}) + "\n")
+        p.stdin.write(json.dumps({"id": 3, "vectors": q, "nprobe": 2,
+                                  "k": 3}) + "\n")
+        p.stdin.write("EOF\n")
+        p.stdin.flush()
+        r1, r2, r3 = (json.loads(p.stdout.readline()) for _ in range(3))
+    finally:
+        p.stdin.close()
+        assert p.wait(timeout=60) == 0
+    # Full probe reproduces the exhaustive distances; partial is well-formed.
+    np.testing.assert_array_equal(np.asarray(r1["dists"]),
+                                  np.asarray(r2["dists"]))
+    assert np.shape(r3["ids"]) == (2, 3)
+    for row in r3["dists"]:
+        assert row == sorted(row)
