@@ -124,9 +124,12 @@ def main():
     for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
         if nprobe > args.nlist:
             break
-        probes = ivf.coarse_probes(xq, part, nprobe)
 
         def run():
+            # Probe selection is part of the serving cost (the exhaustive
+            # baseline pays no analog), so it belongs inside the timing.
+            # LUT construction is excluded from BOTH paths symmetrically.
+            probes = ivf.coarse_probes(xq, part, nprobe)
             return ivf.search(part, luts, k, probes)
 
         res, qps = timeit(run)

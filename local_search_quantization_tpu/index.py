@@ -238,7 +238,19 @@ class Index:
             from local_search_quantization_tpu.ivf import IVFPartition
 
             with np.load(ivf_path) as z:
-                idx.ivf = IVFPartition.from_arrays(dict(z))
+                part = IVFPartition.from_arrays(dict(z))
+            # codes.npz and ivf.npz are replaced as two separate renames,
+            # so a crash between them can leave the pair out of step.
+            # Reconcile on load: a partition grouping more rows than the
+            # code store has (a pre-compact leftover) is dropped; the
+            # authoritative tombstone mask is re-applied into the grouped
+            # store (idempotent), so a stale ivf.npz can never resurrect
+            # a persisted delete.
+            if part.n_grouped > idx.n:
+                idx.ivf = None
+            else:
+                part.tombstone(np.flatnonzero(idx._tomb))
+                idx.ivf = part
         idx._loaded_from = path  # lets save(path) skip the frozen model
         return idx
 
@@ -379,28 +391,22 @@ class Index:
         from local_search_quantization_tpu import ivf as ivf_mod
 
         part = self.ivf
+        luts = self._query_luts(Q)
         probes = ivf_mod.coarse_probes(Q, part, nprobe)
-        res = ivf_mod.search(part, self._query_luts(Q), k, probes)
+        res = ivf_mod.search(part, luts, k, probes)
         ntail = self.n - part.n_grouped
         if ntail == 0:
             return res
         # Rows added after the partition was built: exhaustive scan + merge
         # (kept exact so recent inserts never fall out of the candidates).
+        # Reuses the grouped scan's LUTs — they already encode the
+        # method's rotation/norm semantics.
         t0 = part.n_grouped
-        model = self.model
-        kt = min(k, ntail)
         if self.additive:
-            R = np.asarray(model.R) if self.method == "chainq" else None
-            tail = adc.linscan_lsq(self.B[t0:], Q, model.C, self._dbn[t0:],
-                                   k=kt, R=R)
-        elif self.method == "opq":
-            ex = None if self._extra is None else self._extra[t0:]
-            tail = adc.linscan_opq(self.B[t0:], Q, model.C_sub, model.R,
-                                   k=kt, extra=ex)
+            ex = self._dbn[t0:]
         else:
             ex = None if self._extra is None else self._extra[t0:]
-            tail = adc.linscan_pq(self.B[t0:], Q, model.C_sub, k=kt,
-                                  extra=ex)
+        tail = ivf_mod.exhaustive_scan(luts, self.B[t0:], ex, min(k, ntail))
         tail = adc.KNNResult(tail.dists, np.where(
             tail.ids >= 0, tail.ids + t0, tail.ids))
         return ivf_mod.merge_knn(res, tail, k)
@@ -423,14 +429,17 @@ class Index:
             raise ValueError(f"queries must be [nq, {self.d}], got {Q.shape}")
         if not 1 <= k <= self.n:
             raise ValueError(f"k={k} out of range [1, {self.n}]")
-        if nprobe:
+        if nprobe is not None and nprobe != 0:
             if self.ivf is None:
                 raise ValueError("nprobe given but no IVF partition; call "
                                  "build_ivf() first")
             if mesh is not None:
                 raise ValueError("IVF search is a host serving path; "
                                  "mesh sharding applies to exhaustive scans")
-            return self._search_ivf(Q, k, int(nprobe))
+            nprobe = int(nprobe)
+            if nprobe < 1:
+                raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+            return self._search_ivf(Q, k, nprobe)
         model = self.model
         if mesh is not None:
             from local_search_quantization_tpu.parallel import query as pq_mod

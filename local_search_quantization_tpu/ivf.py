@@ -93,12 +93,27 @@ class IVFPartition:
 
     @classmethod
     def from_arrays(cls, a: dict) -> "IVFPartition":
+        """Rebuild from to_arrays() output, validating the structural
+        invariants the native scanner relies on (a corrupt file must fail
+        here, not as an out-of-bounds read in C++)."""
         codes_g = np.ascontiguousarray(a["codes_g"], np.uint8)
         order = np.asarray(a["order"], np.int64)
         n_grouped = int(a["n_grouped"])
-        pos = np.empty(n_grouped, np.int64)
+        starts = np.asarray(a["starts"], np.int64)
+        lives = np.asarray(a["lives"], np.int64)
+        n_g = codes_g.shape[0]
+        if (order.shape[0] != n_g or starts.shape[0] != lives.shape[0] + 1
+                or starts[0] != 0 or starts[-1] != n_g
+                or (starts % 64).any() or (np.diff(starts) < lives).any()
+                or (lives < 0).any()):
+            raise ValueError("corrupt IVF partition arrays")
         live_mask = order >= 0
-        pos[order[live_mask]] = np.flatnonzero(live_mask)
+        ids = order[live_mask]
+        if (ids.size != n_grouped or ids.max(initial=-1) >= n_grouped
+                or np.unique(ids).size != n_grouped):
+            raise ValueError("corrupt IVF partition ids")
+        pos = np.empty(n_grouped, np.int64)
+        pos[ids] = np.flatnonzero(live_mask)
         cent = np.asarray(a["centroids"], np.float32)
         return cls(
             centroids=cent,
@@ -183,8 +198,10 @@ def build_partition(
     pos = np.empty(n, np.int64)
     pos[order[order >= 0]] = np.flatnonzero(order >= 0)
 
-    finite = (np.array([], np.float32) if extra_g is None
-              else extra_g[np.isfinite(extra_g)])
+    # emin over the LIVE rows only: the 0.0 alignment pads would drag the
+    # bound below the true minimum and loosen the u16 prune for free.
+    finite = (np.array([], np.float32) if extra_arr is None
+              else extra_arr[np.isfinite(extra_arr)])
     return IVFPartition(
         centroids=centroids,
         cnorms=cnorms,
@@ -215,8 +232,12 @@ def coarse_probes(Q: np.ndarray, part: IVFPartition, nprobe: int) -> np.ndarray:
 
 def _numpy_scan(part: IVFPartition, luts: np.ndarray, k: int,
                 probes: np.ndarray) -> adc.KNNResult:
-    """Pure-numpy oracle/fallback with the native path's semantics:
-    exact distances, (+inf, -1) sentinels past the live candidates."""
+    """Pure-numpy oracle/fallback: exact distances, (+inf, -1) sentinels
+    past the live candidates. Returned DISTANCES match the native path
+    exactly; exact-distance ties at the k-th boundary may pick a
+    different tied row (this sorts lexicographically by (dist, id), the
+    native scanner accepts in probe/scan order — both are valid members
+    of the tie class)."""
     nq, m, h = luts.shape
     dists = np.full((nq, k), np.inf, np.float32)
     ids = np.full((nq, k), -1, np.int64)
@@ -252,7 +273,9 @@ def search(part: IVFPartition, luts: np.ndarray, k: int,
     directly comparable to the exhaustive linscans').
 
     method: "auto" = native scanner when built (VBMI chunks when compiled
-    with AVX-512 VBMI), "numpy" = the pure-python fallback/oracle.
+    with AVX-512 VBMI), "numpy" = the pure-python fallback/oracle. The
+    two return identical distances; exact-tie ids at the k-th boundary
+    may differ (see _numpy_scan).
     """
     from local_search_quantization_tpu.utils import native
 
@@ -263,6 +286,42 @@ def search(part: IVFPartition, luts: np.ndarray, k: int,
         luts, part.codes_g, part.codesT_g, part.extra_g, part.order,
         part.starts, part.lives, probes, k, emin=part.emin)
     return adc.KNNResult(d, i)
+
+
+def exhaustive_scan(luts: np.ndarray, codes: np.ndarray,
+                    extra: np.ndarray | None, k: int) -> adc.KNNResult:
+    """Exhaustive ADC scan of a code block with PREBUILT per-query LUTs —
+    the tail path of Index._search_ivf (rows appended after the
+    partition), so the tables built for the grouped scan are reused
+    instead of re-deriving them through the method-routing ladder.
+    Native scanner when available and the codes fit u8; numpy otherwise.
+    """
+    from local_search_quantization_tpu.utils import native
+
+    codes = np.asarray(codes)
+    n = codes.shape[0]
+    k = min(k, n)
+    if native.available() and int(codes.max(initial=0)) <= 255:
+        d, i = native.linscan(luts, codes, extra, k)
+        return adc.KNNResult(d, i)
+    nq, m, _ = luts.shape
+    dists = np.full((nq, k), np.inf, np.float32)
+    ids = np.full((nq, k), -1, np.int64)
+    for q in range(nq):
+        d = np.zeros(n, np.float32)
+        for j in range(m):
+            d += luts[q, j][codes[:, j]]
+        if extra is not None:
+            d = d + np.asarray(extra, np.float32)
+        keep = np.flatnonzero(np.isfinite(d))
+        kq = min(k, keep.size)
+        if kq == 0:
+            continue
+        top = keep[np.argpartition(d[keep], kq - 1)[:kq]]
+        o2 = np.lexsort((top, d[top]))
+        dists[q, :kq] = d[top][o2]
+        ids[q, :kq] = top[o2]
+    return adc.KNNResult(dists, ids)
 
 
 def merge_knn(a: adc.KNNResult, b: adc.KNNResult, k: int) -> adc.KNNResult:

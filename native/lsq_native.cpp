@@ -463,6 +463,8 @@ int lsq_linscan_ivf(float* dists, int64_t* ids_out, const uint8_t* codes_g,
   for (int64_t p = 0; p <= nlist; ++p)
     if (starts[p] % 64 || starts[p] > n_g || (p && starts[p] < starts[p - 1]))
       return 1;
+  for (int64_t p = 0; p < nlist; ++p)
+    if (lives[p] < 0 || lives[p] > starts[p + 1] - starts[p]) return 1;
   auto fill = adc_block<0>;
   if (m == 7) fill = adc_block<7>;
   if (m == 8) fill = adc_block<8>;

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--nquery", type=int, default=10_000)
     ap.add_argument("--knn", type=int, default=1000)
     ap.add_argument("--query-chunk", type=int, default=1024)
+    ap.add_argument("--nprobe", type=int, default=0,
+                    help="IVF probe count (needs build_index --ivf-nlist); 0 = exhaustive")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None, help="optional JSON output path")
     args = ap.parse_args()
@@ -75,7 +77,8 @@ def main():
     t0 = time.time()
     ids = []
     for s in range(0, x_query.shape[0], args.query_chunk):
-        res = idx.search(x_query[s:s + args.query_chunk], k=k)
+        res = idx.search(x_query[s:s + args.query_chunk], k=k,
+                         nprobe=args.nprobe or None)
         ids.append(np.asarray(res.ids))
     ids = np.concatenate(ids)
     dt = time.time() - t0
@@ -85,6 +88,7 @@ def main():
     if args.out:
         table = {
             "index": args.index, "dataset": dataset, "k": k,
+            "nprobe": args.nprobe or None,
             "nquery": int(x_query.shape[0]), "qps": x_query.shape[0] / dt,
             "recall": {f"r@{n}": float(curve[n - 1])
                        for n in (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000)
