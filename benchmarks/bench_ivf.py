@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--sample", type=int, default=1 << 17)
     ap.add_argument("--kmeans-iters", type=int, default=15)
     ap.add_argument("--k", type=int, default=100)
+    ap.add_argument("--method", default="pq", choices=["pq", "lsq"],
+                    help="lsq consumes a repro_paper.py --stage-cache dir "
+                         "(lsq.npz model + lsq_codes.npz milestones) so the "
+                         "additive+norms path benches without retraining")
+    ap.add_argument("--stage-cache", default=None,
+                    help="repro stage-cache dir for --method lsq")
     ap.add_argument("--out", default="ivf_curve.json")
     args = ap.parse_args()
 
@@ -53,26 +59,56 @@ def main():
     n, d = xb.shape
     m, h = 8, 256
 
-    codes_path = os.path.join(args.cache, "pq_codes.npz")
-    if os.path.exists(codes_path):
-        cz = np.load(codes_path)
-        C_sub, B = cz["C_sub"], cz["B"]
-        print(f"[ivf-bench] code cache hit: {codes_path}", flush=True)
-    else:
-        t0 = time.perf_counter()
-        model = train_pq(xt, PQConfig(m=m, h=h, kmeans_maxiter=25, seed=0))
-        t1 = time.perf_counter()
-        B = np.empty((n, m), np.int32)
-        for s0 in range(0, n, 1 << 17):
-            s1 = min(s0 + (1 << 17), n)
-            B[s0:s1] = np.asarray(quantize_pq(xb[s0:s1], model.C_sub))
-        t2 = time.perf_counter()
-        C_sub = np.asarray(model.C_sub)
-        np.savez(codes_path, C_sub=C_sub, B=B)
-        print(f"[ivf-bench] PQ train {t1 - t0:.1f}s encode {t2 - t1:.1f}s",
-              flush=True)
+    extra = None
+    if args.method == "lsq":
+        # 64-bit additive codes (m=7 + norm byte) from a repro stage cache
+        # — the ILS base encode is TPU work (ops/icm_pallas.py), so this
+        # mode reuses the repro pipeline's artifact instead of re-encoding.
+        from local_search_quantization_tpu.ops import costs, norms
+        from local_search_quantization_tpu.utils import checkpoint as ckpt
 
-    part_path = os.path.join(args.cache, f"part_{args.nlist}.npz")
+        assert args.stage_cache, "--method lsq needs --stage-cache"
+        lsq = ckpt.load_model(os.path.join(args.stage_cache, "lsq.npz"))
+        zc = ckpt.load_codes(os.path.join(args.stage_cache, "lsq_codes.npz"))
+        B = np.asarray(zc["B"][-1])  # deepest ILS milestone
+        m, h = B.shape[1], lsq.C.shape[1]
+        bn = np.asarray(norms.quantize_norms(B, lsq.C, lsq.cbnorms))
+        extra = np.asarray(lsq.cbnorms)[bn].astype(np.float32)
+
+        def build_luts(q):
+            return np.asarray(adc.lsq_query_luts(q, lsq.C), np.float32)
+
+        def recon(blk):
+            return np.asarray(costs.reconstruct(blk, lsq.C))
+    else:
+        codes_path = os.path.join(args.cache, "pq_codes.npz")
+        if os.path.exists(codes_path):
+            cz = np.load(codes_path)
+            C_sub, B = cz["C_sub"], cz["B"]
+            print(f"[ivf-bench] code cache hit: {codes_path}", flush=True)
+        else:
+            t0 = time.perf_counter()
+            model = train_pq(xt, PQConfig(m=m, h=h, kmeans_maxiter=25,
+                                          seed=0))
+            t1 = time.perf_counter()
+            B = np.empty((n, m), np.int32)
+            for s0 in range(0, n, 1 << 17):
+                s1 = min(s0 + (1 << 17), n)
+                B[s0:s1] = np.asarray(quantize_pq(xb[s0:s1], model.C_sub))
+            t2 = time.perf_counter()
+            C_sub = np.asarray(model.C_sub)
+            np.savez(codes_path, C_sub=C_sub, B=B)
+            print(f"[ivf-bench] PQ train {t1 - t0:.1f}s "
+                  f"encode {t2 - t1:.1f}s", flush=True)
+
+        def build_luts(q):
+            return np.asarray(adc.pq_query_luts(q, C_sub), np.float32)
+
+        def recon(blk):
+            return np.asarray(reconstruct_pq(blk, C_sub, d))
+
+    part_path = os.path.join(args.cache,
+                             f"part_{args.method}_{args.nlist}.npz")
     if os.path.exists(part_path):
         with np.load(part_path) as pz:
             part = ivf.IVFPartition.from_arrays(dict(pz))
@@ -83,17 +119,16 @@ def main():
         xhat = np.empty((n, d), np.float32)
         for s0 in range(0, n, 1 << 17):
             s1 = min(s0 + (1 << 17), n)
-            xhat[s0:s1] = np.asarray(
-                reconstruct_pq(B[s0:s1], C_sub, d))
+            xhat[s0:s1] = recon(B[s0:s1])
         part = ivf.build_partition(
-            B, xhat, None, args.nlist, seed=0, sample=args.sample,
+            B, xhat, extra, args.nlist, seed=0, sample=args.sample,
             iters=args.kmeans_iters)
         build_s = time.perf_counter() - t0
         np.savez(part_path, build_s=np.float64(build_s),
                  **part.to_arrays())
         print(f"[ivf-bench] partition built in {build_s:.1f}s", flush=True)
 
-    luts = np.asarray(adc.pq_query_luts(xq, C_sub), np.float32)
+    luts = build_luts(xq)
     codes_u8 = np.ascontiguousarray(B, np.uint8)
     k = args.k
 
@@ -112,8 +147,9 @@ def main():
 
     # Exhaustive native scan: the qps baseline AND the ADC recall ceiling.
     (ed, ei), ex_qps = timeit(
-        lambda: native.linscan(luts, codes_u8, None, k))
+        lambda: native.linscan(luts, codes_u8, extra, k))
     results = {
+        "method": args.method,
         "n": n, "nq": args.nq, "k": k, "m": m, "h": h,
         "nlist": args.nlist, "partition_build_s": round(build_s, 1),
         "exhaustive": {"qps": round(ex_qps, 1), **recalls(ei)},
