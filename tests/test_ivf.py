@@ -288,3 +288,79 @@ def test_corrupt_partition_rejected(tmp_path, rng_module):
     bad["order"][good["order"] >= 0] = 0  # duplicate ids
     with pytest.raises(ValueError, match="corrupt"):
         IVFPartition.from_arrays(bad)
+
+
+def test_fuzz_native_numpy_parity():
+    """Seeded fuzz over random partition structures: empty lists, lists
+    smaller/larger than 64, tombstones, both native top-k modes, k at and
+    past the candidate count. Distances must match the numpy oracle
+    exactly; ids must satisfy the per-slot oracle property."""
+    if not native.has_ivf():
+        pytest.skip("native library without lsq_linscan_ivf")
+    import os
+
+    rng = np.random.default_rng(1234)
+    for trial in range(6):
+        m = int(rng.choice([2, 7, 8]))
+        h = int(rng.choice([16, 256]))
+        nlist = int(rng.integers(3, 9))
+        counts = rng.integers(0, 180, size=nlist)
+        counts[rng.integers(0, nlist)] = 0  # force an empty list
+        n = int(counts.sum())
+        if n == 0:
+            continue
+        pads = (-counts) % 64
+        starts = np.zeros(nlist + 1, np.int64)
+        np.cumsum(counts + pads, out=starts[1:])
+        n_g = int(starts[-1])
+        order = np.full(n_g, -1, np.int64)
+        codes_g = np.zeros((n_g, m), np.uint8)
+        extra_g = np.zeros(n_g, np.float32)
+        perm = rng.permutation(n)
+        taken = 0
+        for li in range(nlist):
+            rows = perm[taken:taken + counts[li]]
+            taken += counts[li]
+            s0 = starts[li]
+            order[s0:s0 + rows.size] = rows
+            codes_g[s0:s0 + rows.size] = rng.integers(
+                0, h, size=(rows.size, m)).astype(np.uint8)
+            extra_g[s0:s0 + rows.size] = rng.normal(50, 10, rows.size)
+        # Tombstone a few rows.
+        tomb = rng.integers(0, n, size=max(1, n // 20))
+        pos = np.empty(n, np.int64)
+        live = order >= 0
+        pos[order[live]] = np.flatnonzero(live)
+        extra_g[pos[tomb]] = np.inf
+        cent = rng.normal(size=(nlist, 4)).astype(np.float32)
+        part = ivf.IVFPartition(
+            centroids=cent, cnorms=(cent * cent).sum(1), order=order,
+            starts=starts, lives=counts.astype(np.int64),
+            codes_g=codes_g, codesT_g=np.ascontiguousarray(codes_g.T),
+            extra_g=extra_g, pos_of_id=pos, n_grouped=n,
+            emin=float(extra_g[np.isfinite(extra_g)].min()))
+        nq = 5
+        luts = rng.normal(size=(nq, m, h)).astype(np.float32) * 10
+        nprobe = int(rng.integers(1, nlist + 1))
+        probes = np.stack([
+            rng.choice(nlist, nprobe, replace=False).astype(np.int32)
+            for _ in range(nq)])
+        k = int(rng.choice([1, 7, 64, 150]))
+        for topk_mode in ("heap", "buf"):
+            os.environ["LSQ_NATIVE_TOPK"] = topk_mode
+            try:
+                a = ivf.search(part, luts, k, probes, method="numpy")
+                b = ivf.search(part, luts, k, probes)
+            finally:
+                del os.environ["LSQ_NATIVE_TOPK"]
+            np.testing.assert_allclose(a.dists, b.dists, rtol=0, atol=0,
+                                       err_msg=f"trial {trial} {topk_mode}")
+            for q in range(nq):
+                for j in range(k):
+                    oid = b.ids[q, j]
+                    if oid < 0:
+                        assert np.isinf(b.dists[q, j])
+                        continue
+                    np.testing.assert_allclose(
+                        _oracle_dist(part, luts, q, oid), b.dists[q, j],
+                        rtol=1e-6, atol=1e-4)
