@@ -364,3 +364,27 @@ def test_fuzz_native_numpy_parity():
                     np.testing.assert_allclose(
                         _oracle_dist(part, luts, q, oid), b.dists[q, j],
                         rtol=1e-6, atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["opq", "chainq"])
+def test_rotated_methods_full_probe(method, rng_module):
+    """OPQ and ChainQ quantize in rotated space: both the reconstruction
+    used for the coarse partition (recon @ R^T) and the query LUTs carry
+    the rotation; full-probe IVF must match the exhaustive scan."""
+    X = _mk_clustered(rng_module, 900, 16, ncl=5)
+    idx = Index.build(X[:300], X, method, m=2, h=16, niter=2)
+    idx.build_ivf(nlist=4, sample=600, iters=5)
+    Q = X[rng_module.integers(0, X.shape[0], 10)]
+    ex = idx.search(Q, k=12)
+    iv = idx.search(Q, k=12, nprobe=4)
+    np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_h_over_256_rejected(rng_module):
+    from local_search_quantization_tpu.ivf import build_partition
+
+    B = rng_module.integers(0, 300, size=(600, 2)).astype(np.int32)
+    xhat = rng_module.normal(size=(600, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        build_partition(B, xhat, None, 4)
