@@ -37,6 +37,9 @@ def main():
                          "additive+norms path benches without retraining")
     ap.add_argument("--stage-cache", default=None,
                     help="repro stage-cache dir for --method lsq")
+    ap.add_argument("--refine", type=int, default=0,
+                    help="also sweep the exact-rerank pipeline with this "
+                         "candidate factor (SQ8 store over the base set)")
     ap.add_argument("--out", default="ivf_curve.json")
     args = ap.parse_args()
 
@@ -157,6 +160,20 @@ def main():
     }
     print(json.dumps({"exhaustive": results["exhaustive"]}), flush=True)
 
+    store = None
+    if args.refine:
+        from local_search_quantization_tpu.refine import RefineStore, rerank
+
+        store = RefineStore.build(xb, "sq8")
+        kc = min(args.refine * k, n)
+        (rd, ri), rq = timeit(lambda: rerank(
+            store, xq, native.linscan(luts, codes_u8, extra, kc)[1], k))
+        results["exhaustive_refined"] = {
+            "refine": args.refine, "qps": round(rq, 1), **recalls(ri)}
+        print(json.dumps(
+            {"exhaustive_refined": results["exhaustive_refined"]}),
+            flush=True)
+
     for nprobe in (1, 2, 4, 8, 16, 32, 64, 128):
         if nprobe > args.nlist:
             break
@@ -178,6 +195,24 @@ def main():
                **recalls(res.ids)}
         results["sweep"].append(row)
         print(json.dumps(row), flush=True)
+
+        if args.refine:
+            from local_search_quantization_tpu.refine import rerank
+
+            kc = args.refine * k
+
+            def run_refined():
+                probes = ivf.coarse_probes(xq, part, nprobe)
+                cand = ivf.search(part, luts, kc, probes)
+                return rerank(store, xq, np.asarray(cand.ids), k)
+
+            rres, rqps = timeit(run_refined)
+            rrow = {"nprobe": nprobe, "refine": args.refine,
+                    "qps": round(rqps, 1),
+                    "speedup": round(rqps / ex_qps, 2),
+                    **recalls(rres.ids)}
+            results["sweep"].append(rrow)
+            print(json.dumps(rrow), flush=True)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

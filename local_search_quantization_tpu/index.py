@@ -51,6 +51,7 @@ class Index:
         self.method = method
         self.model = model
         self.ivf = None  # optional coarse partition (build_ivf)
+        self.refine = None  # optional exact-rerank store (attach_refine)
         self.meta = dict(meta or {})
         self.meta.setdefault("method", method)
         # Row storage is capacity-managed (amortized doubling on add):
@@ -132,12 +133,16 @@ class Index:
     def build(cls, x_train, x_base, method: str = "lsq", *,
               m: int | None = None, h: int = 256, niter: int = 10,
               ilsiter: int = 16, seed: int = 0, verbose: bool = False,
+              refine: str | None = None,
               meta: dict | None = None) -> "Index":
         """Train a quantizer on x_train and encode x_base.
 
         Defaults give 64-bit codes at h=256: m=8 for pq/opq, m=7 plus a
         1-byte norm code for the additive methods (the reference demo
         budget, demos/demo_pq.jl:12-17, demo_lsq.jl:14-19).
+
+        refine: "sq8" / "f32" also keeps a (scalar-quantized) copy of
+        x_base for the exact re-ranking stage (search(refine=r)).
         """
         import jax
 
@@ -204,7 +209,10 @@ class Index:
             "ilsiter": ilsiter if method == "lsq" else None,
         }
         full_meta.update(meta or {})
-        return cls(method, model, B, bnorm=bnorm, meta=full_meta)
+        idx = cls(method, model, B, bnorm=bnorm, meta=full_meta)
+        if refine:
+            idx.attach_refine(x_base, kind=refine)
+        return idx
 
     @classmethod
     def load(cls, path: str) -> "Index":
@@ -251,6 +259,21 @@ class Index:
             else:
                 part.tombstone(np.flatnonzero(idx._tomb))
                 idx.ivf = part
+        rq_path = os.path.join(path, "refine.npz")
+        if os.path.exists(rq_path):
+            from local_search_quantization_tpu.refine import RefineStore
+
+            with np.load(rq_path) as z:
+                rq = RefineStore.from_arrays(dict(z))
+            # Same two-rename crash window as ivf.npz: a refine store out
+            # of step with codes.npz (different row count) cannot serve
+            # correct reranks and cannot be rebuilt from codes — drop it.
+            if rq.n == idx.n and rq.d == idx.d:
+                idx.refine = rq
+            else:
+                print(f"[index] dropping stale refine store "
+                      f"({rq.n} rows vs {idx.n} codes) — re-attach with "
+                      "the original vectors")
         idx._loaded_from = path  # lets save(path) skip the frozen model
         return idx
 
@@ -287,6 +310,13 @@ class Index:
             os.replace(ivf_tmp, ivf_path)
         elif os.path.exists(ivf_path):
             os.remove(ivf_path)  # partition was dropped (e.g. compact)
+        rq_path = os.path.join(path, "refine.npz")
+        if self.refine is not None:
+            rq_tmp = os.path.join(path, "refine.tmp.npz")
+            np.savez(rq_tmp, **self.refine.to_arrays())
+            os.replace(rq_tmp, rq_path)
+        elif os.path.exists(rq_path):
+            os.remove(rq_path)
         meta = {k: v for k, v in self.meta.items() if k != "cbnorms"}
         meta["n"] = self.n
         meta_tmp = os.path.join(path, "meta.tmp.json")
@@ -374,6 +404,21 @@ class Index:
             seed=seed, sample=sample, iters=iters)
         self.meta["ivf_nlist"] = int(nlist)
 
+    def attach_refine(self, X, kind: str = "sq8") -> None:
+        """Keep a (scalar-quantized) copy of the ORIGINAL vectors for the
+        exact re-ranking stage. X must be the base set in id order
+        ([n, d], matching every current row); afterwards search(refine=r)
+        reranks the top r*k ADC candidates with exact distances."""
+        from local_search_quantization_tpu.refine import RefineStore
+
+        X = np.asarray(X, np.float32)
+        if X.shape != (self.n, self.d):
+            raise ValueError(
+                f"refine vectors must be [{self.n}, {self.d}] in id order, "
+                f"got {X.shape}")
+        self.refine = RefineStore.build(X, kind)
+        self.meta["refine"] = kind
+
     def _query_luts(self, Q: np.ndarray) -> np.ndarray:
         """[nq, m, h] ADC tables with the exhaustive linscans' semantics
         (L2 LUTs for pq/opq over rotated queries; -2<q,c> inner-product
@@ -412,7 +457,8 @@ class Index:
         return ivf_mod.merge_knn(res, tail, k)
 
     def search(self, Q, k: int = 100, *, mesh=None,
-               nprobe: int | None = None) -> adc.KNNResult:
+               nprobe: int | None = None,
+               refine: int | None = None) -> adc.KNNResult:
         """ADC k-NN. Beyond `active` rows, results pad with the
         (+inf, -1) sentinel.
 
@@ -423,12 +469,28 @@ class Index:
         nprobe nearest coarse lists per query (plus rows added since the
         partition) — approximate with exact distances over the candidate
         set; recall -> exhaustive as nprobe -> nlist. None/0 = exhaustive.
+        refine: with an attached refine store, rerank the top refine*k
+        ADC candidates by EXACT distance to the stored original vectors;
+        returned distances are then true squared L2, not the ADC
+        surrogate. Composes with nprobe.
         """
         Q = np.asarray(Q, np.float32)
         if Q.ndim != 2 or Q.shape[1] != self.d:
             raise ValueError(f"queries must be [nq, {self.d}], got {Q.shape}")
         if not 1 <= k <= self.n:
             raise ValueError(f"k={k} out of range [1, {self.n}]")
+        if refine is not None and refine != 0:
+            from local_search_quantization_tpu.refine import rerank
+
+            if self.refine is None:
+                raise ValueError("refine given but no refine store; build "
+                                 "with refine= or call attach_refine()")
+            refine = int(refine)
+            if refine < 1:
+                raise ValueError(f"refine must be >= 1, got {refine}")
+            kc = min(refine * k, self.n)
+            cand = self.search(Q, kc, mesh=mesh, nprobe=nprobe)
+            return rerank(self.refine, Q, np.asarray(cand.ids), k)
         if nprobe is not None and nprobe != 0:
             if self.ivf is None:
                 raise ValueError("nprobe given but no IVF partition; call "
@@ -511,6 +573,8 @@ class Index:
 
             bn = np.asarray(norms.quantize_norms(Bn, model.C, self._cbnorms))
         n0 = self._append_rows(Bn, bn)
+        if self.refine is not None:
+            self.refine.append(X)  # frozen affine params, real rows only
         return list(range(n0, n0 + nreal))
 
     def delete(self, ids) -> int:
@@ -544,6 +608,8 @@ class Index:
         self.ivf = None
         self.meta.pop("ivf_nlist", None)
         keep = ~self._tomb
+        if self.refine is not None:
+            self.refine.take(keep)
         old_of_new = np.flatnonzero(keep)
         self._B_buf = np.ascontiguousarray(self.B[keep])
         if self.additive:

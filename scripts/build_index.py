@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--ivf-nlist", type=int, default=None,
                     help="also build an IVF coarse partition with this many "
                          "lists (serve with per-request nprobe)")
+    ap.add_argument("--refine", default=None, choices=["sq8", "f32"],
+                    help="also keep a (scalar-quantized) copy of the base "
+                         "vectors for exact re-ranking (per-request refine)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -75,7 +78,7 @@ def main():
     idx = Index.build(
         x_train, x_base, args.method, m=args.m, h=args.h, niter=args.niter,
         ilsiter=args.ilsiter, seed=args.seed, verbose=True,
-        meta={"dataset": dataset},
+        refine=args.refine, meta={"dataset": dataset},
     )
     if args.ivf_nlist:
         idx.build_ivf(args.ivf_nlist, seed=args.seed)

@@ -15,7 +15,10 @@ then one response per request line:
                "dists": [[...k floats...], ...]}
               (nprobe only with an IVF partition in the index — scan the
               nprobe nearest coarse lists instead of everything; omit or
-              0 for the exhaustive scan; --nprobe sets the default)
+              0 for the exhaustive scan; --nprobe sets the default.
+              "refine": r reranks the top r*k ADC candidates by exact
+              distance to the stored original vectors — needs a refine
+              store in the index; distances become true squared L2)
     insert:   {"op": "add", "id": 8, "vectors": [[...], ...]}
            -> {"id": 8, "added": [n0, n0+1, ...], "n": new_total}
               (encodes with the FROZEN trained model — PQ/OPQ subspace
@@ -59,6 +62,9 @@ def main():
     ap.add_argument("--nprobe", type=int, default=0,
                     help="default IVF probe count; 0 = exhaustive "
                          "(request may override; needs --ivf-nlist at build)")
+    ap.add_argument("--refine", type=int, default=0,
+                    help="default exact-rerank factor; 0 = off (request may "
+                         "override; needs --refine at build)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the compile-triggering dummy batch")
@@ -76,7 +82,8 @@ def main():
 
     print(json.dumps({"ready": True, "method": idx.method, "n": idx.n,
                       "k": args.k,
-                      "ivf_nlist": idx.ivf.nlist if idx.ivf else None}),
+                      "ivf_nlist": idx.ivf.nlist if idx.ivf else None,
+                      "refine": idx.refine.kind if idx.refine else None}),
           flush=True)
 
     for line in sys.stdin:
@@ -105,6 +112,8 @@ def main():
                 res = idx.search(req["vectors"],
                                  int(req.get("k", args.k)),
                                  nprobe=int(req.get("nprobe", args.nprobe))
+                                 or None,
+                                 refine=int(req.get("refine", args.refine))
                                  or None)
                 out = {"id": req.get("id"),
                        "ids": np.asarray(res.ids).tolist(),

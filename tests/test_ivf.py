@@ -388,3 +388,68 @@ def test_h_over_256_rejected(rng_module):
     xhat = rng_module.normal(size=(600, 8)).astype(np.float32)
     with pytest.raises(ValueError, match="uint8"):
         build_partition(B, xhat, None, 4)
+
+
+
+def test_refine_lifts_r1_and_roundtrips(tmp_path, rng_module):
+    """SQ8 refine: reranked r@1 vs TRUE neighbors must beat the ADC-only
+    r@1 (8-bit codes are coarse; exact rerank recovers it), distances are
+    true squared L2, and the store persists + extends through add()."""
+    X = _mk_clustered(rng_module, 4000, 16, ncl=10, spread=0.6)
+    Q = X[rng_module.integers(0, X.shape[0], 64)] + \
+        rng_module.normal(size=(64, 16)).astype(np.float32) * 0.05
+    # True nearest neighbors (exact f32).
+    gt = np.array([np.argmin(((X - q) ** 2).sum(1)) for q in Q])
+    # h=64 (12-bit codes): cells hold ~1 row, so the true NN reliably
+    # sits inside the 20-candidate ADC window for the rerank to find.
+    idx = Index.build(X[:800], X, "pq", m=2, h=64, niter=3, refine="sq8")
+    plain = idx.search(Q, k=1)
+    ref = idx.search(Q, k=1, refine=20)
+    r1_plain = float(np.mean(plain.ids[:, 0] == gt))
+    r1_ref = float(np.mean(ref.ids[:, 0] == gt))
+    assert r1_ref > r1_plain + 0.2, (r1_plain, r1_ref)
+    # Reranked distances are true squared L2 of the DEQUANTIZED rows.
+    got = idx.refine.decode(ref.ids[:, 0])
+    d_true = ((got - Q) ** 2).sum(1)
+    np.testing.assert_allclose(ref.dists[:, 0], d_true, rtol=1e-5, atol=1e-3)
+
+    p = str(tmp_path / "idx_refine")
+    idx.save(p)
+    idx2 = Index.load(p)
+    assert idx2.refine is not None and idx2.refine.kind == "sq8"
+    ref2 = idx2.search(Q, k=1, refine=20)
+    np.testing.assert_array_equal(ref.ids, ref2.ids)
+
+    # add() extends the store with the frozen affine params.
+    ids = idx2.add(Q[:2])
+    r3 = idx2.search(Q[:2], k=3, refine=10)
+    assert ids[0] in r3.ids[0] and ids[1] in r3.ids[1]
+    # Deleted rows can never resurface through the rerank stage.
+    idx2.delete([int(r3.ids[0][0])])
+    r4 = idx2.search(Q[:2], k=3, refine=10)
+    assert int(r3.ids[0][0]) not in r4.ids[0]
+
+
+def test_refine_composes_with_ivf(pq_index, rng_module):
+    idx, X = pq_index
+    try:
+        idx.attach_refine(X[: idx.n], kind="sq8")
+        Q = X[rng_module.integers(0, X.shape[0], 16)]
+        r = idx.search(Q, k=5, nprobe=3, refine=8)
+        assert r.ids.shape == (16, 5)
+        for q in range(16):
+            assert list(r.dists[q]) == sorted(r.dists[q])
+            x = idx.refine.decode(r.ids[q])
+            d = ((x - Q[q][None]) ** 2).sum(1)
+            np.testing.assert_allclose(r.dists[q], d, rtol=1e-5, atol=1e-3)
+    finally:
+        idx.refine = None
+        idx.meta.pop("refine", None)
+
+
+def test_refine_validation(pq_index, rng_module):
+    idx, X = pq_index
+    with pytest.raises(ValueError, match="refine"):
+        idx.search(X[:1], k=3, refine=4)  # no store attached
+    with pytest.raises(ValueError, match="id order"):
+        idx.attach_refine(X[:5])  # wrong shape
