@@ -602,14 +602,17 @@ class Index:
         remapping any external id references). Frees the tombstones'
         memory and scan work; ids are NOT stable across a compact.
 
-        An IVF partition is keyed on the old ids, so it is dropped —
-        call build_ivf() again after compacting.
+        An IVF partition is renumbered in place (list assignments are
+        preserved; only the dropped rows leave their segments), so
+        compaction does not cost a coarse-quantizer rebuild.
         """
-        self.ivf = None
-        self.meta.pop("ivf_nlist", None)
         keep = ~self._tomb
         if self.refine is not None:
             self.refine.take(keep)
+        if self.ivf is not None:
+            new_of_old = np.full(self.n, -1, np.int64)
+            new_of_old[keep] = np.arange(int(keep.sum()))
+            self.ivf.compact(new_of_old[: self.ivf.n_grouped])
         old_of_new = np.flatnonzero(keep)
         self._B_buf = np.ascontiguousarray(self.B[keep])
         if self.additive:

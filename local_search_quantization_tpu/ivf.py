@@ -78,6 +78,50 @@ class IVFPartition:
             self.extra_g = np.zeros(self.order.shape[0], np.float32)
         self.extra_g[self.pos_of_id[ids]] = np.inf
 
+    def compact(self, new_of_old: np.ndarray) -> None:
+        """Re-number after an Index.compact(): drop rows whose
+        new_of_old[old_id] is -1, renumber the survivors, re-pad every
+        segment. List assignments are preserved, so compaction no longer
+        costs a partition rebuild (the coarse k-means is the expensive
+        part). new_of_old must cover [0, n_grouped)."""
+        nlist = self.nlist
+        seg_rows = []  # per list: (codes, extras, new_ids)
+        for li in range(nlist):
+            s0, live = int(self.starts[li]), int(self.lives[li])
+            pos = np.arange(s0, s0 + live)
+            news = new_of_old[self.order[pos]]
+            keep = news >= 0
+            seg_rows.append((self.codes_g[pos[keep]],
+                             None if self.extra_g is None
+                             else self.extra_g[pos[keep]],
+                             news[keep]))
+        counts = np.array([r[2].size for r in seg_rows], np.int64)
+        pads = (-counts) % 64
+        starts = np.zeros(nlist + 1, np.int64)
+        np.cumsum(counts + pads, out=starts[1:])
+        n_g = int(starts[-1])
+        m = self.codes_g.shape[1]
+        order = np.full(n_g, -1, np.int64)
+        codes_g = np.zeros((n_g, m), np.uint8)
+        extra_g = None if self.extra_g is None else np.zeros(n_g, np.float32)
+        for li, (cb, eb, ids) in enumerate(seg_rows):
+            s0 = starts[li]
+            order[s0:s0 + ids.size] = ids
+            codes_g[s0:s0 + ids.size] = cb
+            if extra_g is not None:
+                extra_g[s0:s0 + ids.size] = eb
+        n_new = int(counts.sum())
+        pos_of_id = np.empty(n_new, np.int64)
+        live_mask = order >= 0
+        pos_of_id[order[live_mask]] = np.flatnonzero(live_mask)
+        self.order, self.starts, self.lives = order, starts, counts
+        self.codes_g = codes_g
+        self.codesT_g = np.ascontiguousarray(codes_g.T)
+        self.extra_g = extra_g
+        self.pos_of_id = pos_of_id
+        self.n_grouped = n_new
+        # emin stays valid: dropping rows can only raise the true minimum.
+
     def to_arrays(self) -> dict:
         """Flat dict for npz persistence (extra_g omitted when None)."""
         out = {

@@ -149,15 +149,33 @@ def test_save_load_roundtrip(pq_index, tmp_path, rng_module):
     np.testing.assert_array_equal(a.ids, b.ids)
 
 
-def test_compact_drops_partition(rng_module):
+def test_compact_preserves_partition(rng_module):
+    """compact() renumbers the grouped store in place (list assignments
+    kept): post-compact full-probe search must equal the post-compact
+    exhaustive scan, with the tail rows (added after build_ivf)
+    renumbered behind the kept grouped rows."""
     X = _mk_clustered(rng_module, 600, 8, ncl=4)
     idx = Index.build(X[:300], X, "pq", m=2, h=16, niter=2)
     idx.build_ivf(nlist=4, sample=500, iters=5)
-    idx.delete([5])
+    tail_ids = idx.add(X[:3] + 0.01)
+    idx.delete([5, 17, tail_ids[1]])
+    n_groups_kept = idx.ivf.n_grouped - 2  # two grouped deletes
     idx.compact()
-    assert idx.ivf is None
-    with pytest.raises(ValueError, match="build_ivf"):
-        idx.search(X[:2], k=3, nprobe=2)
+    assert idx.ivf is not None
+    assert idx.ivf.n_grouped == n_groups_kept
+    assert idx.n == 600 + 3 - 3
+    Q = X[rng_module.integers(0, 600, 16)]
+    ex = idx.search(Q, k=10)
+    iv = idx.search(Q, k=10, nprobe=idx.ivf.nlist)
+    np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
+                               rtol=1e-6, atol=1e-5)
+    # The surviving tail rows are still found (now via new tail ids).
+    r = idx.search(X[:1] + 0.01, k=30, nprobe=idx.ivf.nlist)
+    assert n_groups_kept in r.ids[0] or (r.ids[0] >= n_groups_kept).any()
+    # Structural invariants survive the renumbering (from_arrays checks).
+    from local_search_quantization_tpu.ivf import IVFPartition
+
+    IVFPartition.from_arrays(idx.ivf.to_arrays())
 
 
 def test_additive_ivf_lsq_norms(rng_module):
