@@ -157,6 +157,10 @@ class Index:
         )
         from local_search_quantization_tpu.utils.synth import random_codes
 
+        if refine not in (None, "sq8", "f32"):
+            # Fail BEFORE the (potentially hours-long) train+encode.
+            raise ValueError(
+                f"refine must be None, 'sq8' or 'f32', got {refine!r}")
         additive = method in ("chainq", "lsq")
         if m is None:
             m = 7 if additive else 8
@@ -271,9 +275,13 @@ class Index:
             if rq.n == idx.n and rq.d == idx.d:
                 idx.refine = rq
             else:
+                import sys
+
+                # stderr: serve.py speaks JSON-lines on stdout.
                 print(f"[index] dropping stale refine store "
                       f"({rq.n} rows vs {idx.n} codes) — re-attach with "
-                      "the original vectors")
+                      "the original vectors", file=sys.stderr)
+                idx.meta.pop("refine", None)
         idx._loaded_from = path  # lets save(path) skip the frozen model
         return idx
 
@@ -490,7 +498,12 @@ class Index:
                 raise ValueError(f"refine must be >= 1, got {refine}")
             kc = min(refine * k, self.n)
             cand = self.search(Q, kc, mesh=mesh, nprobe=nprobe)
-            return rerank(self.refine, Q, np.asarray(cand.ids), k)
+            # Belt and braces on the sentinel contract: a +inf first-stage
+            # slot must never reach the reranker with a real id (the exact
+            # rerank would resurrect a tombstoned row at a finite distance).
+            cand_ids = np.where(np.isfinite(np.asarray(cand.dists)),
+                                np.asarray(cand.ids), -1)
+            return rerank(self.refine, Q, cand_ids, k)
         if nprobe is not None and nprobe != 0:
             if self.ivf is None:
                 raise ValueError("nprobe given but no IVF partition; call "

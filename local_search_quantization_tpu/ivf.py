@@ -43,7 +43,27 @@ __all__ = [
     "coarse_probes",
     "search",
     "merge_knn",
+    "topk_lex",
 ]
+
+
+def topk_lex(d: np.ndarray, ids: np.ndarray, k: int):
+    """Lexicographic-(dist, id) top-k of the FINITE candidates, with the
+    scanners' sentinel padding: returns (dists [k] ascending f32,
+    ids [k] int64), (+inf, -1) past the live candidates. The single home
+    of the argpartition + lexsort idiom shared by the numpy scan paths
+    and refine.rerank — the tie-break and sentinel contract live here.
+    """
+    out_d = np.full(k, np.inf, np.float32)
+    out_i = np.full(k, -1, np.int64)
+    keep = np.flatnonzero(np.isfinite(d))
+    kq = min(k, keep.size)
+    if kq:
+        top = keep[np.argpartition(d[keep], kq - 1)[:kq]]
+        o2 = np.lexsort((ids[top], d[top]))
+        out_d[:kq] = d[top][o2]
+        out_i[:kq] = ids[top][o2]
+    return out_d, out_i
 
 
 @dataclasses.dataclass
@@ -297,16 +317,7 @@ def _numpy_scan(part: IVFPartition, luts: np.ndarray, k: int,
             d += luts[q, j][part.codes_g[rows, j]]
         if part.extra_g is not None:
             d = d + part.extra_g[rows]
-        oid = part.order[rows]
-        keep = np.isfinite(d)
-        d, oid = d[keep], oid[keep]
-        kq = min(k, d.size)
-        if kq == 0:
-            continue
-        top = np.argpartition(d, kq - 1)[:kq]
-        o2 = np.lexsort((oid[top], d[top]))
-        dists[q, :kq] = d[top][o2]
-        ids[q, :kq] = oid[top][o2]
+        dists[q], ids[q] = topk_lex(d, part.order[rows], k)
     return adc.KNNResult(dists, ids)
 
 
@@ -351,20 +362,14 @@ def exhaustive_scan(luts: np.ndarray, codes: np.ndarray,
     nq, m, _ = luts.shape
     dists = np.full((nq, k), np.inf, np.float32)
     ids = np.full((nq, k), -1, np.int64)
+    row_ids = np.arange(n, dtype=np.int64)
     for q in range(nq):
         d = np.zeros(n, np.float32)
         for j in range(m):
             d += luts[q, j][codes[:, j]]
         if extra is not None:
             d = d + np.asarray(extra, np.float32)
-        keep = np.flatnonzero(np.isfinite(d))
-        kq = min(k, keep.size)
-        if kq == 0:
-            continue
-        top = keep[np.argpartition(d[keep], kq - 1)[:kq]]
-        o2 = np.lexsort((top, d[top]))
-        dists[q, :kq] = d[top][o2]
-        ids[q, :kq] = top[o2]
+        dists[q], ids[q] = topk_lex(d, row_ids, k)
     return adc.KNNResult(dists, ids)
 
 

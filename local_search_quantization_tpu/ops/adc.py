@@ -294,7 +294,12 @@ def _scan_topk_tournament(
 
     nd, pos = jax.lax.top_k(-cand, k)
     ids = jnp.take_along_axis(cand_idx, pos, axis=1)
-    return KNNResult(-nd, ids.astype(jnp.int32))
+    # Sentinel contract shared by every scan path: +inf slots (tombstoned
+    # rows / fewer than k live candidates) carry id -1, never a real row
+    # id (downstream stages like refine.rerank rely on this).
+    d = -nd
+    ids = jnp.where(jnp.isinf(d), -1, ids)
+    return KNNResult(d, ids.astype(jnp.int32))
 
 
 def _run_scan(

@@ -107,6 +107,8 @@ def rerank(store: RefineStore, Q: np.ndarray, cand_ids: np.ndarray,
     Distances are TRUE squared L2 (not the ADC surrogate), so they are
     comparable across methods but NOT to the first-stage distances.
     """
+    from local_search_quantization_tpu.ivf import topk_lex
+
     Q = np.asarray(Q, np.float32)
     nq, c = cand_ids.shape
     dists = np.full((nq, k), np.inf, np.float32)
@@ -119,9 +121,5 @@ def rerank(store: RefineStore, Q: np.ndarray, cand_ids: np.ndarray,
         x = store.decode(cq)  # [c, d]
         dv = x - Q[q][None, :]
         d = np.einsum("cd,cd->c", dv, dv, dtype=np.float32)
-        kq = min(k, cq.size)
-        top = np.argpartition(d, kq - 1)[:kq]
-        o2 = np.lexsort((cq[top], d[top]))
-        dists[q, :kq] = d[top][o2]
-        ids[q, :kq] = cq[top][o2]
+        dists[q], ids[q] = topk_lex(d, cq, k)
     return adc.KNNResult(dists, ids)

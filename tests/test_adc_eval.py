@@ -486,3 +486,23 @@ def test_linscan_tournament_exactly_matches_streaming(rng):
     oracle_d = np.sort(full, axis=1)[:, :k]
     np.testing.assert_allclose(np.asarray(two.dists), oracle_d,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_tournament_sentinel_contract(rng):
+    """Every scan path shares the (+inf, -1) sentinel contract: the
+    group-minima tournament must not return tombstoned rows' real ids at
+    +inf distance (regression: refine.rerank would convert such ids back
+    into finite-distance results, resurrecting deletes)."""
+    n, d, m, h = 600, 16, 2, 16
+    C_sub = (rng.normal(size=(m, h, d // m)) * 5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m)).astype(np.int32)
+    Q = rng.normal(size=(4, d)).astype(np.float32) * 5
+    extra = np.zeros(n, np.float32)
+    extra[10:] = np.inf  # tombstone all but 10 rows
+    res = adc.linscan_pq(B, Q, C_sub, k=40, extra=extra,
+                         topk_method="tournament")
+    dists, ids = np.asarray(res.dists), np.asarray(res.ids)
+    assert np.isfinite(dists[:, :10]).all()
+    assert (ids[:, :10] < 10).all() and (ids[:, :10] >= 0).all()
+    assert np.isinf(dists[:, 10:]).all()
+    assert (ids[:, 10:] == -1).all(), ids[:, 10:]

@@ -169,9 +169,13 @@ def test_compact_preserves_partition(rng_module):
     iv = idx.search(Q, k=10, nprobe=idx.ivf.nlist)
     np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
                                rtol=1e-6, atol=1e-5)
-    # The surviving tail rows are still found (now via new tail ids).
-    r = idx.search(X[:1] + 0.01, k=30, nprobe=idx.ivf.nlist)
-    assert n_groups_kept in r.ids[0] or (r.ids[0] >= n_groups_kept).any()
+    # The surviving tail rows (old tail_ids[0]/[2]; [1] was deleted, and
+    # 2 grouped deletes precede the tail) must be found at their NEW ids.
+    new_tail = [n_groups_kept, n_groups_kept + 1]
+    r = idx.search(np.stack([X[0] + 0.01, X[2] + 0.01]), k=30,
+                   nprobe=idx.ivf.nlist)
+    assert new_tail[0] in r.ids[0], r.ids[0]
+    assert new_tail[1] in r.ids[1], r.ids[1]
     # Structural invariants survive the renumbering (from_arrays checks).
     from local_search_quantization_tpu.ivf import IVFPartition
 
