@@ -12,7 +12,6 @@ import pytest
 
 from local_search_quantization_tpu import ivf
 from local_search_quantization_tpu.index import Index
-from local_search_quantization_tpu.ops import adc
 from local_search_quantization_tpu.utils import native
 
 
