@@ -474,3 +474,21 @@ def test_refine_validation(pq_index, rng_module):
         idx.search(X[:1], k=3, refine=4)  # no store attached
     with pytest.raises(ValueError, match="id order"):
         idx.attach_refine(X[:5])  # wrong shape
+
+
+def test_refine_composes_with_mesh(rng_module):
+    """search(mesh=..., refine=r): first stage sharded over the virtual
+    device mesh, exact rerank host-side — distances must be the true
+    squared L2 of the dequantized candidates."""
+    from local_search_quantization_tpu.parallel.mesh import data_mesh
+
+    X = _mk_clustered(rng_module, 1000, 16, ncl=6)
+    idx = Index.build(X[:300], X, "pq", m=2, h=64, niter=2, refine="sq8")
+    Q = X[rng_module.integers(0, 1000, 8)]
+    r = idx.search(Q, k=5, mesh=data_mesh(), refine=8)
+    plain = idx.search(Q, k=5, refine=8)
+    np.testing.assert_allclose(r.dists, plain.dists, rtol=1e-6, atol=1e-4)
+    for q in range(8):
+        x = idx.refine.decode(r.ids[q])
+        d = ((x - Q[q][None]) ** 2).sum(1)
+        np.testing.assert_allclose(r.dists[q], d, rtol=1e-5, atol=1e-3)
