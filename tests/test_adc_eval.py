@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from local_search_quantization_tpu.models import train_pq
 from local_search_quantization_tpu.ops import adc, costs, norms
@@ -488,11 +489,19 @@ def test_linscan_tournament_exactly_matches_streaming(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_tournament_sentinel_contract(rng):
-    """Every scan path shares the (+inf, -1) sentinel contract: the
-    group-minima tournament must not return tombstoned rows' real ids at
-    +inf distance (regression: refine.rerank would convert such ids back
-    into finite-distance results, resurrecting deletes)."""
+@pytest.mark.parametrize("method",
+                         ["tournament", "exact", "approx", "native"])
+def test_scan_sentinel_contract(rng, method):
+    """Every scan path shares the (+inf, -1) sentinel contract: none may
+    return tombstoned rows' real ids at +inf distance (regression: the
+    tournament path violated this, and refine.rerank converted such ids
+    back into finite-distance results, resurrecting deletes). The exact
+    streaming merge preserves -1 only through top_k's prefer-lower-index
+    tie rule + the carry-first concat order — this pins that too."""
+    from local_search_quantization_tpu.utils import native as nat
+
+    if method == "native" and not nat.available():
+        pytest.skip("native library not built")
     n, d, m, h = 600, 16, 2, 16
     C_sub = (rng.normal(size=(m, h, d // m)) * 5).astype(np.float32)
     B = rng.integers(0, h, size=(n, m)).astype(np.int32)
@@ -500,7 +509,7 @@ def test_tournament_sentinel_contract(rng):
     extra = np.zeros(n, np.float32)
     extra[10:] = np.inf  # tombstone all but 10 rows
     res = adc.linscan_pq(B, Q, C_sub, k=40, extra=extra,
-                         topk_method="tournament")
+                         topk_method=method)
     dists, ids = np.asarray(res.dists), np.asarray(res.ids)
     assert np.isfinite(dists[:, :10]).all()
     assert (ids[:, :10] < 10).all() and (ids[:, :10] >= 0).all()
