@@ -245,22 +245,40 @@ class Index:
             meta["cbnorms"] = np.asarray(codes["cbnorms"]).tolist()
         idx = cls(meta["method"], model, B, bnorm=codes.get("bnorm"),
                   tomb=codes.get("tomb"), meta=meta)
+        # Sidecar reconciliation: codes.npz and the ivf/refine sidecars
+        # are replaced by SEPARATE renames, so a crash between them leaves
+        # the pair out of step. The generation stamp (one fresh token per
+        # save(), written into every file of that save) detects this
+        # exactly; a sidecar whose stamp mismatches stamped codes is a
+        # crash leftover and is dropped. Row-count checks remain as the
+        # legacy fallback for pre-stamp saves (counts cannot detect a
+        # compact() renumbering when they coincide, which is why the
+        # stamp exists). A kept partition additionally gets the
+        # authoritative tombstone mask re-applied (idempotent).
+        import sys
+
+        gen = codes.get("gen")
+
+        def _sidecar_ok(side_gen, legacy_ok: bool, what: str) -> bool:
+            if gen is not None:
+                if side_gen is not None and bytes(side_gen) == bytes(gen):
+                    return True
+                print(f"[index] dropping stale {what} from an interrupted "
+                      "save (generation mismatch with codes.npz)",
+                      file=sys.stderr)
+                return False
+            return legacy_ok
+
         ivf_path = os.path.join(path, "ivf.npz")
         if os.path.exists(ivf_path):
             from local_search_quantization_tpu.ivf import IVFPartition
 
             with np.load(ivf_path) as z:
-                part = IVFPartition.from_arrays(dict(z))
-            # codes.npz and ivf.npz are replaced as two separate renames,
-            # so a crash between them can leave the pair out of step.
-            # Reconcile on load: a partition grouping more rows than the
-            # code store has (a pre-compact leftover) is dropped; the
-            # authoritative tombstone mask is re-applied into the grouped
-            # store (idempotent), so a stale ivf.npz can never resurrect
-            # a persisted delete.
-            if part.n_grouped > idx.n:
-                idx.ivf = None
-            else:
+                arrs = dict(z)
+            side_gen = arrs.pop("gen", None)
+            part = IVFPartition.from_arrays(arrs)
+            if _sidecar_ok(side_gen, part.n_grouped <= idx.n,
+                           "IVF partition"):
                 part.tombstone(np.flatnonzero(idx._tomb))
                 idx.ivf = part
         rq_path = os.path.join(path, "refine.npz")
@@ -268,19 +286,13 @@ class Index:
             from local_search_quantization_tpu.refine import RefineStore
 
             with np.load(rq_path) as z:
-                rq = RefineStore.from_arrays(dict(z))
-            # Same two-rename crash window as ivf.npz: a refine store out
-            # of step with codes.npz (different row count) cannot serve
-            # correct reranks and cannot be rebuilt from codes — drop it.
-            if rq.n == idx.n and rq.d == idx.d:
+                arrs = dict(z)
+            side_gen = arrs.pop("gen", None)
+            rq = RefineStore.from_arrays(arrs)
+            if _sidecar_ok(side_gen, rq.n == idx.n and rq.d == idx.d,
+                           "refine store"):
                 idx.refine = rq
             else:
-                import sys
-
-                # stderr: serve.py speaks JSON-lines on stdout.
-                print(f"[index] dropping stale refine store "
-                      f"({rq.n} rows vs {idx.n} codes) — re-attach with "
-                      "the original vectors", file=sys.stderr)
                 idx.meta.pop("refine", None)
         idx._loaded_from = path  # lets save(path) skip the frozen model
         return idx
@@ -302,7 +314,17 @@ class Index:
             model_tmp = os.path.join(path, "model.tmp.npz")
             ckpt.save_model(model_tmp, self.model)
             os.replace(model_tmp, model_path)
-        extra_cols: dict = {"tomb": self._tomb}
+        # One generation stamp per save, shared by codes.npz and every
+        # sidecar written in the same call. The codes/ivf/refine files are
+        # replaced by SEPARATE renames, and row-count heuristics cannot
+        # detect a compact() renumbering (counts can coincide after
+        # delete+compact+add) — load() keeps a sidecar only when its
+        # generation matches the codes file's, which closes every
+        # crash-between-renames window exactly.
+        import secrets
+
+        gen = np.bytes_(secrets.token_hex(16))
+        extra_cols: dict = {"tomb": self._tomb, "gen": gen}
         if self.additive:
             extra_cols["bnorm"] = self._bnorm
             extra_cols["cbnorms"] = self._cbnorms
@@ -313,7 +335,7 @@ class Index:
         ivf_path = os.path.join(path, "ivf.npz")
         if self.ivf is not None:
             ivf_tmp = os.path.join(path, "ivf.tmp.npz")
-            np.savez(ivf_tmp, **self.ivf.to_arrays())
+            np.savez(ivf_tmp, gen=gen, **self.ivf.to_arrays())
             # np.savez appends .npz to a non-.npz name; ivf.tmp.npz keeps it.
             os.replace(ivf_tmp, ivf_path)
         elif os.path.exists(ivf_path):
@@ -321,7 +343,7 @@ class Index:
         rq_path = os.path.join(path, "refine.npz")
         if self.refine is not None:
             rq_tmp = os.path.join(path, "refine.tmp.npz")
-            np.savez(rq_tmp, **self.refine.to_arrays())
+            np.savez(rq_tmp, gen=gen, **self.refine.to_arrays())
             os.replace(rq_tmp, rq_path)
         elif os.path.exists(rq_path):
             os.remove(rq_path)
@@ -573,11 +595,23 @@ class Index:
             from local_search_quantization_tpu.utils.synth import random_codes
 
             m, h = self.meta["m"], self.meta["h"]
-            B0 = random_codes(0, Xp.shape[0], m, h)
-            enc = icm.ils_encode(
-                jax.random.PRNGKey(self.n), Xp, B0, model.C,
-                ilsiter=self.meta.get("ilsiter") or 16, icmiter=4,
-                npert=min(4, m), randord=True)
+            if nreal > (1 << 16):
+                # Large batch: stream through encode_chunked like build()
+                # — a whole-batch ils_encode would materialize the
+                # [n, m, h] unary table (~7.5 GB f32 at 1M x 7 x 256),
+                # and the power-of-two padding would up-to-double the
+                # encode work. encode_chunked pads only the tail chunk.
+                B0 = random_codes(0, X.shape[0], m, h)
+                enc = icm.encode_chunked(
+                    jax.random.PRNGKey(self.n), X, B0, model.C,
+                    ilsiter=self.meta.get("ilsiter") or 16, icmiter=4,
+                    npert=min(4, m), randord=True)
+            else:
+                B0 = random_codes(0, Xp.shape[0], m, h)
+                enc = icm.ils_encode(
+                    jax.random.PRNGKey(self.n), Xp, B0, model.C,
+                    ilsiter=self.meta.get("ilsiter") or 16, icmiter=4,
+                    npert=min(4, m), randord=True)
             Bn = np.asarray(enc.B)
         Bn = Bn[:nreal]
         bn = None

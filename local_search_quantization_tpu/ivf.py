@@ -66,6 +66,20 @@ def topk_lex(d: np.ndarray, ids: np.ndarray, k: int):
     return out_d, out_i
 
 
+def _lut_scan_row(luts_q: np.ndarray, codes: np.ndarray,
+                  extra: np.ndarray | None, ids: np.ndarray, k: int):
+    """One query's numpy ADC scan: LUT-gather sum over m codebooks (+
+    extra term) then the shared sentinel-padded top-k. The single home of
+    the numpy distance accumulation — the probed-path oracle and the
+    tail scan must never diverge."""
+    d = np.zeros(codes.shape[0], np.float32)
+    for j in range(luts_q.shape[0]):
+        d += luts_q[j][codes[:, j]]
+    if extra is not None:
+        d = d + extra
+    return topk_lex(d, ids, k)
+
+
 @dataclasses.dataclass
 class IVFPartition:
     """Grouped code store + coarse centroids. All arrays are host numpy."""
@@ -91,7 +105,10 @@ class IVFPartition:
         scan path can return them. Ids >= n_grouped live in the tail and
         are the caller's to handle."""
         ids = np.asarray(ids, np.int64)
-        ids = ids[ids < self.n_grouped]
+        # Negative ids would wrap through pos_of_id and poison the wrong
+        # row — filter both ends (callers like Index.delete validate, but
+        # this is public API on the dataclass).
+        ids = ids[(ids >= 0) & (ids < self.n_grouped)]
         if ids.size == 0:
             return
         if self.extra_g is None:
@@ -215,14 +232,18 @@ def build_partition(
     from local_search_quantization_tpu.ops import kmeans as km
 
     n, m = B.shape
-    if nlist < 1 or nlist > n:
-        raise ValueError(f"nlist={nlist} out of range [1, {n}]")
+    ns = min(sample, n)
+    if nlist < 1 or nlist > ns:
+        # k-means trains on the sample: nlist beyond it would fail deep in
+        # the empty-cluster repair with an opaque top_k shape error.
+        raise ValueError(
+            f"nlist={nlist} out of range [1, {ns}] "
+            f"(min of sample={sample} and n={n})")
     if int(B.max(initial=0)) > 255:
         raise ValueError("IVF grouped store is uint8: needs h <= 256 codes")
     xhat = np.asarray(xhat, np.float32)
 
     rng = np.random.default_rng(seed)
-    ns = min(sample, n)
     sel = rng.choice(n, ns, replace=False) if ns < n else np.arange(n)
     res = km.kmeans(jax.random.PRNGKey(seed), xhat[sel], nlist,
                     maxiter=iters)
@@ -312,12 +333,10 @@ def _numpy_scan(part: IVFPartition, luts: np.ndarray, k: int,
                 else np.array([], np.int64))
         if rows.size == 0:
             continue
-        d = np.zeros(rows.size, np.float32)
-        for j in range(m):
-            d += luts[q, j][part.codes_g[rows, j]]
-        if part.extra_g is not None:
-            d = d + part.extra_g[rows]
-        dists[q], ids[q] = topk_lex(d, part.order[rows], k)
+        dists[q], ids[q] = _lut_scan_row(
+            luts[q], part.codes_g[rows],
+            None if part.extra_g is None else part.extra_g[rows],
+            part.order[rows], k)
     return adc.KNNResult(dists, ids)
 
 
@@ -363,13 +382,10 @@ def exhaustive_scan(luts: np.ndarray, codes: np.ndarray,
     dists = np.full((nq, k), np.inf, np.float32)
     ids = np.full((nq, k), -1, np.int64)
     row_ids = np.arange(n, dtype=np.int64)
+    extra_arr = None if extra is None else np.asarray(extra, np.float32)
     for q in range(nq):
-        d = np.zeros(n, np.float32)
-        for j in range(m):
-            d += luts[q, j][codes[:, j]]
-        if extra is not None:
-            d = d + np.asarray(extra, np.float32)
-        dists[q], ids[q] = topk_lex(d, row_ids, k)
+        dists[q], ids[q] = _lut_scan_row(luts[q], codes, extra_arr,
+                                         row_ids, k)
     return adc.KNNResult(dists, ids)
 
 

@@ -341,7 +341,12 @@ def _run_scan(
                 query_chunk=query_chunk, base_block=base_block, mode=mode,
                 topk_method=topk_method, base_segment=base_segment,
             )
-            parts.append(KNNResult(seg.dists, seg.ids + s0))
+            # A (+inf, -1) sentinel must not be offset into a REAL id of
+            # the previous segment (same id-forging class the tournament
+            # path had; sentinel contract pinned in test_adc_eval).
+            seg_ids = np.asarray(seg.ids)
+            parts.append(KNNResult(
+                seg.dists, np.where(seg_ids >= 0, seg_ids + s0, -1)))
         d_all = np.concatenate([p.dists for p in parts], axis=1)
         i_all = np.concatenate([p.ids for p in parts], axis=1)
         order = np.argsort(d_all, axis=1, kind="stable")[:, :k]

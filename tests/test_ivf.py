@@ -254,10 +254,10 @@ def test_build_and_serve_with_ivf(tmp_path):
 
 
 def test_load_reconciles_stale_partition(tmp_path, rng_module):
-    """codes.npz and ivf.npz are replaced by two separate renames; load()
-    must reconcile both crash windows: a stale partition missing a
-    persisted delete (tombstones re-applied), and a pre-compact leftover
-    grouping more rows than the store (dropped)."""
+    """codes.npz and the sidecars are replaced by separate renames; a
+    sidecar from an older save (generation mismatch) must be dropped.
+    For LEGACY (pre-stamp) saves the row-count fallback applies, with
+    the tombstone mask re-applied into a kept partition."""
     import os
     import shutil
 
@@ -269,19 +269,40 @@ def test_load_reconciles_stale_partition(tmp_path, rng_module):
     stale_ivf = str(tmp_path / "ivf_stale.npz")
     shutil.copy(os.path.join(p, "ivf.npz"), stale_ivf)
 
-    # Window 1: delete persisted to codes.npz, crash before ivf.npz.
+    # Window 1: delete persisted to codes.npz, crash before ivf.npz —
+    # the stale sidecar carries the previous save's generation: dropped.
     victim = int(idx.search(X[:1], k=1, nprobe=4).ids[0, 0])
     idx.delete([victim])
     idx.save(p)
     shutil.copy(stale_ivf, os.path.join(p, "ivf.npz"))  # simulate the crash
     idx2 = Index.load(p)
-    r = idx2.search(X[:1], k=10, nprobe=idx2.ivf.nlist)
-    assert victim not in r.ids[0], "stale partition resurrected a delete"
+    assert idx2.ivf is None, "generation-stale partition survived load"
+    assert victim not in idx2.search(X[:1], k=10).ids[0]
 
-    # Window 2: compact persisted to codes.npz, crash before ivf removal.
-    idx2.compact()
-    idx2.save(p)
+    # Legacy saves (no stamp anywhere): the row-count fallback keeps the
+    # partition and re-applies the tombstones so a persisted delete can
+    # still never resurface.
+    def strip_gen(fp):
+        with np.load(fp) as z:
+            arrs = {k: z[k] for k in z.files if k != "gen"}
+        np.savez(fp + ".tmp.npz", **arrs)
+        os.replace(fp + ".tmp.npz", fp)
+
     shutil.copy(stale_ivf, os.path.join(p, "ivf.npz"))
+    strip_gen(os.path.join(p, "ivf.npz"))
+    strip_gen(os.path.join(p, "codes.npz"))
+    idx2b = Index.load(p)
+    assert idx2b.ivf is not None
+    r = idx2b.search(X[:1], k=10, nprobe=idx2b.ivf.nlist)
+    assert victim not in r.ids[0], "legacy path resurrected a delete"
+
+    # Window 2 (legacy): compact persisted, crash before ivf removal —
+    # n_grouped > n detects the pre-compact leftover.
+    idx2b.compact()
+    idx2b.save(p)
+    shutil.copy(stale_ivf, os.path.join(p, "ivf.npz"))
+    strip_gen(os.path.join(p, "ivf.npz"))
+    strip_gen(os.path.join(p, "codes.npz"))
     idx3 = Index.load(p)
     assert idx3.ivf is None  # n_grouped > n: dropped, not misused
     idx3.search(X[:1], k=5)  # exhaustive still serves
@@ -492,3 +513,75 @@ def test_refine_composes_with_mesh(rng_module):
         x = idx.refine.decode(r.ids[q])
         d = ((x - Q[q][None]) ** 2).sum(1)
         np.testing.assert_allclose(r.dists[q], d, rtol=1e-5, atol=1e-3)
+
+
+def test_generation_stamp_detects_renumbering_stale_sidecars(
+        tmp_path, rng_module):
+    """Row-count heuristics cannot detect a compact() renumbering when
+    counts coincide (delete 1 + add 1); the per-save generation stamp
+    must drop such sidecars."""
+    import os
+    import shutil
+
+    X = _mk_clustered(rng_module, 700, 8, ncl=4)
+    idx = Index.build(X[:250], X, "pq", m=2, h=16, niter=2, refine="sq8")
+    idx.build_ivf(nlist=4, sample=500, iters=5)
+    p = str(tmp_path / "idx")
+    idx.save(p)
+    stale_ivf = str(tmp_path / "s_ivf.npz")
+    stale_rq = str(tmp_path / "s_rq.npz")
+    shutil.copy(os.path.join(p, "ivf.npz"), stale_ivf)
+    shutil.copy(os.path.join(p, "refine.npz"), stale_rq)
+
+    idx.delete([3])
+    idx.compact()            # renumbers: ids shift by one past id 3
+    idx.add(X[:1] + 0.5)     # n back to 700; counts coincide with stale
+    idx.build_ivf(nlist=4, sample=500, iters=5)
+    assert idx.ivf.n_grouped == 700
+    idx.save(p)
+    # Simulate the crash-between-renames: stale sidecars next to new codes.
+    shutil.copy(stale_ivf, os.path.join(p, "ivf.npz"))
+    shutil.copy(stale_rq, os.path.join(p, "refine.npz"))
+    idx2 = Index.load(p)
+    assert idx2.ivf is None, "renumbering-stale partition survived load"
+    assert idx2.refine is None, "renumbering-stale refine survived load"
+    idx2.search(X[:1], k=3)  # exhaustive still serves
+
+
+def test_segmented_scan_preserves_sentinels(rng_module):
+    """The >base_segment host-merge path must not offset a -1 sentinel
+    into a real id of the previous segment."""
+    n, d, m, h = 600, 16, 2, 16
+    C_sub = (rng_module.normal(size=(m, h, d // m)) * 5).astype(np.float32)
+    B = rng_module.integers(0, h, size=(n, m)).astype(np.int32)
+    Q = rng_module.normal(size=(3, d)).astype(np.float32) * 5
+    extra = np.zeros(n, np.float32)
+    extra[10:] = np.inf  # all live rows sit in the FIRST segment
+    from local_search_quantization_tpu.ops import adc
+
+    res = adc.linscan_pq(B, Q, C_sub, k=40, extra=extra,
+                         base_segment=256)
+    ids, dists = np.asarray(res.ids), np.asarray(res.dists)
+    assert np.isinf(dists[:, 10:]).all()
+    assert (ids[:, 10:] == -1).all(), ids[:, 10:]
+    assert (ids[:, :10] >= 0).all() and (ids[:, :10] < 10).all()
+
+
+def test_tombstone_negative_ids_noop(pq_index):
+    idx, X = pq_index
+    part = idx.ivf
+    before = (None if part.extra_g is None else part.extra_g.copy())
+    part.tombstone(np.array([-1, -5]))
+    if before is None:
+        assert part.extra_g is None or np.isfinite(part.extra_g).all()
+    else:
+        np.testing.assert_array_equal(part.extra_g, before)
+
+
+def test_nlist_beyond_sample_rejected(rng_module):
+    from local_search_quantization_tpu.ivf import build_partition
+
+    B = rng_module.integers(0, 16, size=(500, 2)).astype(np.int32)
+    xhat = rng_module.normal(size=(500, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="sample"):
+        build_partition(B, xhat, None, nlist=200, sample=100)
