@@ -28,14 +28,14 @@ import numpy as np
 from local_search_quantization_tpu.ops import adc
 from local_search_quantization_tpu.utils import checkpoint as ckpt
 
-_METHODS = ("pq", "opq", "chainq", "lsq")
+_METHODS = ("pq", "opq", "chainq", "lsq", "rvq")
 
 
 class Index:
     """A frozen quantizer model + mutable codes, searchable and persistable.
 
     Attributes:
-      method: one of "pq", "opq", "chainq", "lsq".
+      method: one of "pq", "opq", "chainq", "lsq", "rvq".
       model: the trained model NamedTuple (PQModel/OPQModel/ChainQModel/
         LSQModel).
       B: [n, m] codes (int32, or uint8 on CPU serving hosts).
@@ -66,7 +66,7 @@ class Index:
             if bnorm is None:
                 raise ValueError(f"{method} needs bnorm norm codes")
             self._cbnorms = np.asarray(self.model.cbnorms, np.float32) \
-                if method == "lsq" else self._meta_cbnorms()
+                if method in ("lsq", "rvq") else self._meta_cbnorms()
             self._bnorm_buf = np.asarray(bnorm)
             self._dbn_buf = self._cbnorms[self._bnorm_buf].astype(np.float32)
             self._dbn_buf[self._tomb_buf] = np.inf
@@ -161,7 +161,7 @@ class Index:
             # Fail BEFORE the (potentially hours-long) train+encode.
             raise ValueError(
                 f"refine must be None, 'sq8' or 'f32', got {refine!r}")
-        additive = method in ("chainq", "lsq")
+        additive = method in ("chainq", "lsq", "rvq")
         if m is None:
             m = 7 if additive else 8
         x_train = np.asarray(x_train, np.float32)
@@ -188,6 +188,18 @@ class Index:
             meta = dict(meta or {})
             meta["cbnorms"] = np.asarray(cbn).tolist()
             bnorm = np.asarray(norms.quantize_norms(B, model.C, cbn))
+        elif method == "rvq":
+            from local_search_quantization_tpu.models import (
+                quantize_rvq, train_rvq,
+            )
+            from local_search_quantization_tpu.utils.config import RVQConfig
+
+            model = train_rvq(x_train, RVQConfig(
+                m=m, h=h, kmeans_maxiter=max(25, niter), seed=seed),
+                verbose=verbose)
+            B = np.asarray(quantize_rvq(x_base, model.C))
+            bnorm = np.asarray(
+                norms.quantize_norms(B, model.C, model.cbnorms))
         else:  # lsq
             opq = train_opq(x_train, OPQConfig(
                 m=m, h=h, niter=niter, seed=seed))
@@ -359,7 +371,7 @@ class Index:
 
     @property
     def additive(self) -> bool:
-        return self.method in ("chainq", "lsq")
+        return self.method in ("chainq", "lsq", "rvq")
 
     @property
     def n(self) -> int:
@@ -590,6 +602,10 @@ class Index:
 
             Bn = np.asarray(viterbi.viterbi_encode(
                 Xp @ np.asarray(model.R, np.float32), model.C))
+        elif self.method == "rvq":
+            from local_search_quantization_tpu.models.rvq import quantize_rvq
+
+            Bn = np.asarray(quantize_rvq(Xp, model.C))
         else:  # lsq: ILS from random codes at the build's round count
             from local_search_quantization_tpu.ops import icm
             from local_search_quantization_tpu.utils.synth import random_codes

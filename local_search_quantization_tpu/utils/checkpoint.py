@@ -21,9 +21,11 @@ def _registry():
         from local_search_quantization_tpu.models.lsq import LSQModel
         from local_search_quantization_tpu.models.opq import OPQModel
         from local_search_quantization_tpu.models.pq import PQModel
+        from local_search_quantization_tpu.models.rvq import RVQModel
         from local_search_quantization_tpu.models.slsq import SLSQModel
 
-        for cls in (PQModel, OPQModel, ChainQModel, LSQModel, SLSQModel):
+        for cls in (PQModel, OPQModel, ChainQModel, LSQModel, SLSQModel,
+                    RVQModel):
             _REGISTRY[cls.__name__] = cls
     return _REGISTRY
 

@@ -56,6 +56,18 @@ class ChainQConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RVQConfig:
+    """Residual VQ (beyond the reference): m sequential k-means stages."""
+    m: int = 7
+    h: int = 256
+    kmeans_maxiter: int = 25
+    seed: int = 0
+
+    def __post_init__(self):
+        _check_mh(self.m, self.h)
+
+
+@dataclasses.dataclass(frozen=True)
 class LSQConfig:
     m: int = 7  # codebooks (one byte reserved for the norm; demo_lsq.jl:14)
     h: int = 256

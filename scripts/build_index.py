@@ -28,7 +28,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--method", required=True,
-                    choices=["pq", "opq", "chainq", "lsq"])
+                    choices=["pq", "opq", "chainq", "lsq", "rvq"])
     ap.add_argument("--out", required=True, help="index directory to create")
     ap.add_argument("--dataset", default="SIFT1M")
     ap.add_argument("--ntrain", type=int, default=100_000)

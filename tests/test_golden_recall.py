@@ -63,6 +63,9 @@ GOLDEN = {
     "LSQ-8": {1: 0.328, 10: 0.804, 100: 1.0},
     "LSQ-16": {1: 0.340, 10: 0.816, 100: 0.996},
     "ChainQ": {1: 0.244, 10: 0.776, 100: 0.984},
+    # Beyond the reference: greedy residual VQ sits between PQ and LSQ at
+    # equal bits, as expected for the family (models/rvq.py docstring).
+    "RVQ": {1: 0.292, 10: 0.788, 100: 0.992},
 }
 
 
@@ -103,6 +106,21 @@ def test_golden_opq(data):
     Bb = np.asarray(quantize_opq(data.base, opq.R, opq.C_sub))
     res = adc.linscan_opq(Bb, data.query, opq.C_sub, opq.R, k=100)
     check("OPQ", recall_at(data.gt, res.ids))
+
+
+def test_golden_rvq(data):
+    from local_search_quantization_tpu.models import train_rvq
+    from local_search_quantization_tpu.models.rvq import quantize_rvq
+    from local_search_quantization_tpu.ops import norms
+    from local_search_quantization_tpu.utils.config import RVQConfig
+
+    mod = train_rvq(data.train, RVQConfig(m=7, h=64, kmeans_maxiter=30,
+                                          seed=0))
+    Bb = np.asarray(quantize_rvq(data.base, mod.C))
+    bn = np.asarray(norms.quantize_norms(Bb, mod.C, mod.cbnorms))
+    res = adc.linscan_lsq(Bb, data.query, mod.C,
+                          np.asarray(mod.cbnorms)[bn], k=100)
+    check("RVQ", recall_at(data.gt, res.ids))
 
 
 def test_golden_chainq(data):
