@@ -30,7 +30,23 @@ import time
 
 import numpy as np
 
-BASELINE_VECS_PER_SEC = 333_000.0  # est. reference CUDA encoder, Titan X
+def baseline_vecs_per_sec(m: int = 7, icmiter: int = 4) -> float:
+    """Reference CUDA encoder estimate at an (m, icmiter) shape.
+
+    BASELINE.md pins 333k vec/s per ILS round at the demo config (m=7,
+    icmiter=4) from the kernel's memory traffic on the hardware the
+    reference shipped for (Titan X): icmiter*m*(m-1) conditioning passes
+    per vector dominate (encode_icm_cuda.jl:165-207, cudautils.cu:236-339),
+    so the estimate scales as 1/(icmiter*m*(m-1)). At the PQ width m=8 the
+    per-vector work is 56/42 = 1.33x larger -> ~250k vec/s. This function
+    is the single machine-readable denominator for every ILS throughput
+    ratio (bench.py headline and benchmarks/bench_ils_shapes.py alike).
+    """
+    passes = icmiter * m * (m - 1)
+    return 333_000.0 * (4 * 7 * 6) / passes
+
+
+BASELINE_VECS_PER_SEC = baseline_vecs_per_sec(7, 4)  # headline config
 K_LO, K_HI = 2, 34  # wide span + min-of-trials to beat ~0.1-0.3 s RPC jitter
 TRIALS = 3
 

@@ -58,10 +58,15 @@ def main():
     configs = [
         tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]
     ] or [(7, 256), (8, 256), (7, 512)]
+    from bench import baseline_vecs_per_sec  # width-consistent denominator
+
     for m, h in configs:
         try:
             v = bench_config(m, h)
-            print(f"m={m} h={h}: {v:12,.0f} vec/s per ILS round", flush=True)
+            base = baseline_vecs_per_sec(m)
+            print(f"m={m} h={h}: {v:12,.0f} vec/s per ILS round "
+                  f"({v / base:.2f}x the {base / 1e3:.0f}k CUDA estimate "
+                  f"at this width)", flush=True)
         except Exception as e:  # VMEM overflow etc. — report, keep sweeping
             print(f"m={m} h={h}: FAILED — {type(e).__name__}: {e}", flush=True)
 

@@ -13,6 +13,8 @@ import argparse
 import time
 
 import jax
+import _bootstrap  # noqa: F401,E402  (repo-root sys.path shim; see _bootstrap.py)
+
 import numpy as np
 
 from local_search_quantization_tpu.models import train_chainq, train_lsq, train_opq

@@ -9,6 +9,8 @@ from __future__ import annotations
 import argparse
 import time
 
+import _bootstrap  # noqa: F401,E402  (repo-root sys.path shim; see _bootstrap.py)
+
 import numpy as np
 
 from local_search_quantization_tpu.models import quantize_opq, train_opq

@@ -611,21 +611,29 @@ class Index:
             from local_search_quantization_tpu.utils.synth import random_codes
 
             m, h = self.meta["m"], self.meta["h"]
+            # Encode key from a persistent monotone counter, not self.n:
+            # after delete + compact + add, n can revisit an old value and
+            # PRNGKey(n) would repeat a key (determinism footgun). The
+            # counter is persisted in meta so reload continues the
+            # sequence rather than restarting it.
+            seq = int(self.meta.get("add_seq", 0))
+            self.meta["add_seq"] = seq + 1
+            key = jax.random.PRNGKey(seq)
             if nreal > (1 << 16):
                 # Large batch: stream through encode_chunked like build()
                 # — a whole-batch ils_encode would materialize the
                 # [n, m, h] unary table (~7.5 GB f32 at 1M x 7 x 256),
                 # and the power-of-two padding would up-to-double the
                 # encode work. encode_chunked pads only the tail chunk.
-                B0 = random_codes(0, X.shape[0], m, h)
+                B0 = random_codes(seq, X.shape[0], m, h)
                 enc = icm.encode_chunked(
-                    jax.random.PRNGKey(self.n), X, B0, model.C,
+                    key, X, B0, model.C,
                     ilsiter=self.meta.get("ilsiter") or 16, icmiter=4,
                     npert=min(4, m), randord=True)
             else:
-                B0 = random_codes(0, Xp.shape[0], m, h)
+                B0 = random_codes(seq, Xp.shape[0], m, h)
                 enc = icm.ils_encode(
-                    jax.random.PRNGKey(self.n), Xp, B0, model.C,
+                    key, Xp, B0, model.C,
                     ilsiter=self.meta.get("ilsiter") or 16, icmiter=4,
                     npert=min(4, m), randord=True)
             Bn = np.asarray(enc.B)

@@ -20,6 +20,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import _bootstrap  # noqa: F401,E402  (repo-root sys.path shim; see _bootstrap.py)
+
 import numpy as np  # noqa: E402
 
 from local_search_quantization_tpu.models.chainq import train_chainq  # noqa: E402

@@ -21,6 +21,8 @@ import argparse
 import json
 import time
 
+import _bootstrap  # noqa: F401,E402  (repo-root sys.path shim; see _bootstrap.py)
+
 import numpy as np
 
 

@@ -52,10 +52,7 @@ def test_pq_gist_uneven_split_exact_adc(gist):
                          query_chunk=40, base_block=1024)
 
     # Oracle: reconstruct the padded subspaces, compare true distances.
-    from local_search_quantization_tpu.ops.subspaces import (
-        merge_subspaces,
-        split_subspaces,
-    )
+    from local_search_quantization_tpu.ops.subspaces import merge_subspaces
 
     xhat_blocks = jnp.take_along_axis(
         jnp.asarray(model.C_sub),
@@ -63,7 +60,7 @@ def test_pq_gist_uneven_split_exact_adc(gist):
         axis=1,
     )
     xhat = np.asarray(merge_subspaces(xhat_blocks, D))
-    del xhat_blocks, split_subspaces
+    del xhat_blocks
     true_d = (
         (gist.query ** 2).sum(1)[:, None]
         - 2.0 * gist.query @ xhat.T
@@ -80,8 +77,11 @@ def test_pq_gist_uneven_split_exact_adc(gist):
         got, np.sort(true_d, axis=1)[:, :50], rtol=2e-4, atol=2e-1
     )
 
+    # Deliberate smoke threshold (NOT an exactness oracle like the rest of
+    # this file): tied to synth corpus v4 + seed 3; far below the ~0.5
+    # observed so a corpus recalibration or PRNG change won't trip it.
     rec = eval_recall(gist.gt, ids, 50, verbose=False)
-    assert rec[49] > 0.2  # loose sanity; ~28-bit codes at d=960
+    assert rec[49] > 0.2
 
 
 def test_lsq_gist_train_encode_query(gist):
@@ -96,6 +96,12 @@ def test_lsq_gist_train_encode_query(gist):
         LSQConfig(m=m, h=h, niter=2, ilsiter=2, icmiter=2, npert=1, seed=1),
     )
     assert lsq.C.shape == (m, h, D)
+    # The obj trace samples qerror BETWEEN a ridge codebook solve and the
+    # next encode (models/lsq.py:100-123): the ridge term means the solve
+    # minimizes a *regularized* objective, so tiny true-objective upticks
+    # between consecutive samples are legitimate — the 1% slack is
+    # deliberate. (The strict non-increase invariant lives inside the
+    # encode's per-vector accept-if-better and is asserted in test_icm.)
     objs = np.asarray(lsq.obj)
     assert (np.diff(objs) <= np.abs(objs[:-1]) * 0.01).all(), objs
 

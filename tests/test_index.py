@@ -17,7 +17,7 @@ def data():
     return synthetic_dataset(5, d=16, n_train=400, n_base=1200, n_query=8)
 
 
-@pytest.mark.parametrize("method", ["opq", "chainq"])
+@pytest.mark.parametrize("method", ["pq", "opq", "chainq", "rvq"])
 def test_index_lifecycle(tmp_path, data, method, rng):
     idx = Index.build(data.train, data.base, method, m=2, h=16, niter=2,
                       ilsiter=2, seed=0)

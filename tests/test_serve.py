@@ -28,6 +28,25 @@ def _build(tmp_path, method):
     return out
 
 
+def test_scripts_run_from_non_repo_cwd(tmp_path):
+    """Regression: scripts must bootstrap sys.path themselves.
+
+    `python scripts/foo.py` puts scripts/ at sys.path[0]; nothing
+    pip-installs the package, so without the _bootstrap shim the CLI was
+    dead from any fresh shell (round-2 verdict item 1). Run a real tiny
+    build from a cwd that is neither the repo nor scripts/.
+    """
+    out = str(tmp_path / "idx")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "build_index.py"),
+         "--method", "pq", "--out", out, "--dataset", "synthetic",
+         "--synth-d", "16", "--ntrain", "400", "--nbase", "800",
+         "--m", "2", "--h", "16", "--niter", "2", "--platform", "cpu"],
+        cwd=str(tmp_path), check=True, capture_output=True, timeout=600,
+    )
+    assert {"meta.json", "model.npz", "codes.npz"} <= set(os.listdir(out))
+
+
 @pytest.mark.parametrize("method", ["pq", "lsq"])
 def test_build_and_serve(tmp_path, method, rng):
     idx = _build(tmp_path, method)
