@@ -55,20 +55,25 @@ def bench_config(m: int, h: int, *, n: int = 1 << 17, d: int = 128,
 
 
 def main():
+    # Each arg is "m,h" or "m,h,d" (d defaults to 128; d=960 = the GIST1M
+    # shape, the reference's second dataset, read_datasets.jl:22-26).
     configs = [
         tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]
     ] or [(7, 256), (8, 256), (7, 512)]
     from bench import baseline_vecs_per_sec  # width-consistent denominator
 
-    for m, h in configs:
+    for cfg in configs:
+        m, h = cfg[0], cfg[1]
+        d = cfg[2] if len(cfg) > 2 else 128
         try:
-            v = bench_config(m, h)
+            v = bench_config(m, h, d=d)
             base = baseline_vecs_per_sec(m)
-            print(f"m={m} h={h}: {v:12,.0f} vec/s per ILS round "
+            print(f"m={m} h={h} d={d}: {v:12,.0f} vec/s per ILS round "
                   f"({v / base:.2f}x the {base / 1e3:.0f}k CUDA estimate "
                   f"at this width)", flush=True)
         except Exception as e:  # VMEM overflow etc. — report, keep sweeping
-            print(f"m={m} h={h}: FAILED — {type(e).__name__}: {e}", flush=True)
+            print(f"m={m} h={h} d={d}: FAILED — {type(e).__name__}: {e}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,8 @@ def main():
     topk_method = sys.argv[4] if len(sys.argv) > 4 else "exact"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     base_block = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 16)
+    if len(sys.argv) > 5:  # e.g. 960 = GIST1M dimension
+        d = int(sys.argv[5])
     rng = np.random.default_rng(0)
     C = (rng.normal(size=(m, h, d)) * 36.0).astype(np.float32)
     B = rng.integers(0, h, size=(n, m)).astype(np.int32)

@@ -197,7 +197,8 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
 
 
 def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
-                           t0_ref, out_d_ref, out_i_ref, dist_ref, *,
+                           t0_ref, out_d_ref, out_i_ref, dist_ref,
+                           fv_ref, fi_ref, *,
                            m: int, h: int, k: int, cap: int, tb: int,
                            nqt: int, unsorted: bool = False):
     """Two-level extraction (variant="grouped"): up to 128 elements per
@@ -241,30 +242,37 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
         """Exact (value, absolute lane) of each mod-128 lane class, via
         log2(tb/128) compare-select folds of contiguous halves. Ties keep
         the lower lane (deterministic; tie id order is unspecified in the
-        output contract)."""
-        v, i, w = dist_ref[:, :], lane_tb, tb
+        output contract).
+
+        The folds run through the fv/fi scratch refs as 128-aligned
+        static WINDOW loads/stores rather than shape-changing vector
+        slices: Mosaic's vector_extract_strided_slice lowering aborts
+        (Check failed: limits[i] <= dim(i)) on width-halving slices
+        inside the nested scf.while regions on real TPU (interpret mode
+        cannot see it) — memory windows lower through tpu.load/store and
+        are layout-safe."""
+        fv_ref[:, :] = dist_ref[:, :]
+        fi_ref[:, :] = lane_tb
+        w = tb
         while w > 128:
             w //= 2
-            va = jax.lax.slice(v, (0, 0), (nqt, w))
-            vb = jax.lax.slice(v, (0, w), (nqt, 2 * w))
-            ia = jax.lax.slice(i, (0, 0), (nqt, w))
-            ib = jax.lax.slice(i, (0, w), (nqt, 2 * w))
+            va, vb = fv_ref[:, 0:w], fv_ref[:, w:2 * w]
+            ia, ib = fi_ref[:, 0:w], fi_ref[:, w:2 * w]
             take = va <= vb
-            v = jnp.where(take, va, vb)
-            i = jnp.where(take, ia, ib)
-        return v, i  # [nqt, 128]
+            fv_ref[:, 0:w] = jnp.where(take, va, vb)
+            fi_ref[:, 0:w] = jnp.where(take, ia, ib)
+        return fv_ref[:, 0:128], fi_ref[:, 0:128]  # [nqt, 128]
 
     def kill(ci):
-        """Kill the 128 extracted lanes: tile ci back to [nqt, tb] by
-        lane-concat doubling (tiled[q, l] = ci[q, l % 128]); lane l is an
-        extracted class minimum iff l == tiled[q, l]."""
-        tiled, w = ci, 128
-        while w < tb:
-            tiled = jnp.concatenate([tiled, tiled], axis=1)
-            w *= 2
-        dist_ref[:, :] = jnp.where(
-            lane_tb == tiled, jnp.inf, dist_ref[:, :]
-        )
+        """Kill the 128 extracted lanes: lane l is an extracted class
+        minimum iff l == ci[q, l % 128]. One width-128 window per lane
+        block (static 128-aligned offsets; see class_minima for why not
+        a concat/tiled full-width compare)."""
+        for off in range(0, tb, 128):
+            blk = dist_ref[:, off:off + 128]
+            dist_ref[:, off:off + 128] = jnp.where(
+                lane_g + off == ci, jnp.inf, blk
+            )
 
     def kth():
         if unsorted:
@@ -272,6 +280,19 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
         else:
             buf_kth = jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k))
         return jnp.minimum(buf_kth, t0_ref[:, :])  # [nqt, 1]
+
+    def min_arg128(cv):
+        """(min, argmin-lane) over the [nqt, 128] candidates WITHOUT
+        jnp.argmin: Mosaic fails to legalize argmin's f32->i32 vector
+        cast at single-vreg width inside these nested scf regions
+        ("unrealized_conversion_cast vector<8x128xf32> to i32", measured
+        on the v5e toolchain). min + masked lane-min is equivalent (ties
+        -> lowest lane, argmin's own tie rule)."""
+        vmin = jnp.min(cv, axis=1, keepdims=True)
+        idx = jnp.min(
+            jnp.where(cv == vmin, lane_g, 128), axis=1, keepdims=True
+        )
+        return vmin, idx
 
     def narrow(cv, ci, thr):
         """Threshold extraction over the [nqt, 128] candidates — the
@@ -317,13 +338,11 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
                     jax.lax.slice(new_d, (0, k - 1), (nqt, k)),
                     t0_ref[:, :],
                 )
-            vmin2 = jnp.min(cv, axis=1, keepdims=True)
-            idx2 = jnp.argmin(cv, axis=1).astype(jnp.int32)[:, None]
+            vmin2, idx2 = min_arg128(cv)
             cont = jnp.sum((vmin2 < thr).astype(jnp.float32))
             return cv, vmin2, idx2, thr, cont
 
-        vmin0 = jnp.min(cv, axis=1, keepdims=True)
-        idx0 = jnp.argmin(cv, axis=1).astype(jnp.int32)[:, None]
+        vmin0, idx0 = min_arg128(cv)
         cont0 = jnp.sum((vmin0 < thr).astype(jnp.float32))
         out = jax.lax.while_loop(
             lambda c: c[4] > 0.0, nbody, (cv, vmin0, idx0, thr, cont0)
@@ -576,7 +595,11 @@ def fused_scan_topk(
     # model correctly steps to the measured-good nqt=256 (BASELINE.md).
     buf_bytes = cap * 12 if key_mode else cap * 24
     lut_row = m * h * (2 if key_mode else 4)  # key mode is hi-only
-    per_row = lut_row + tb * 4 + buf_bytes + 22 * 1024
+    # grouped variants carry two extra [nqt, tb] fold scratch refs
+    # (f32 values + i32 lanes) on top of the dist scratch.
+    scr_bytes = tb * (12 if variant in ("grouped", "grouped_unsorted")
+                      else 4)
+    per_row = lut_row + scr_bytes + buf_bytes + 22 * 1024
     while (auto_nqt and nqt > 128
            and nqt * per_row + tb * m * h * 4 > 118 * 2**20):
         nqt //= 2
@@ -673,6 +696,7 @@ def fused_scan_topk(
         bad = jnp.any(sd[:, k - 1 :] >= T_hi - err) | overflow
         return sd[:nq], si[:nq], bad
 
+    scratch_shapes = [pltpu.VMEM((nqt, tb), jnp.float32)]
     if variant in ("grouped", "grouped_unsorted"):
         assert tb >= 128 and (tb & (tb - 1)) == 0, (
             "variant='grouped' needs a power-of-two tb (fold pyramid)", tb)
@@ -680,6 +704,10 @@ def fused_scan_topk(
             _select_kernel_grouped, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt,
             unsorted=(variant == "grouped_unsorted"),
         )
+        scratch_shapes += [
+            pltpu.VMEM((nqt, tb), jnp.float32),  # fold values
+            pltpu.VMEM((nqt, tb), jnp.int32),  # fold lanes
+        ]
     else:
         kernel = functools.partial(
             _select_kernel, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt,
@@ -697,7 +725,7 @@ def fused_scan_topk(
             jax.ShapeDtypeStruct((nqp, cap), jnp.float32),
             jax.ShapeDtypeStruct((nqp, cap), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((nqt, tb), jnp.float32)],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024
         ),

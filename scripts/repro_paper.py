@@ -68,6 +68,11 @@ def main():
                     help="also report ChainQ (m=7 + norm byte, Viterbi "
                          "base encode) as its own method row; the "
                          "reference uses ChainQ only as LSQ's initializer")
+    ap.add_argument("--with-slsq", action="store_true",
+                    help="also report sparse LSQ (SLSQ1/SLSQ2 at the "
+                         "reference's tau/S configs, demo_lsq_sparse.jl:"
+                         "32-41): m=7 + norm byte from a PQ m=7 init, "
+                         "R=I, recording achieved l0/l1 next to recall")
     ap.add_argument("--stage-cache", default=None,
                     help="directory caching each trained model and the LSQ "
                          "base codes, so an interrupted run (e.g. a TPU-"
@@ -170,11 +175,17 @@ def main():
     from local_search_quantization_tpu.utils import checkpoint as ckpt
 
     cache = args.stage_cache
+    # SR only affects the LSQ stage, so its knobs live in the LSQ stage
+    # NAME (below) rather than the manifest — one cache dir serves the
+    # plain + SR-C + SR-D runs, sharing the pq/opq/opq7/chainq stages.
+    sr_tag = "" if args.sr == "none" else (
+        f"_{args.sr}" + ("" if args.sr_scale == 1.0 else f"x{args.sr_scale:g}")
+    )
     if cache:
         os.makedirs(cache, exist_ok=True)
         manifest = {k: getattr(args, k) for k in (
             "dataset", "ntrain", "nbase", "nquery", "niter", "h", "seed",
-            "sr", "sr_scale", "milestones")}
+            "milestones")}
         man_path = os.path.join(cache, "manifest.json")
         if os.path.exists(man_path):
             with open(man_path) as f:
@@ -266,10 +277,10 @@ def main():
 
     lsq_cfg = LSQConfig(m=m_lsq, h=h, niter=args.niter, seed=args.seed,
                         sr_method=args.sr, sr_scale=args.sr_scale)
-    lsq = _cached_model("lsq", lambda: train_lsq(
+    lsq = _cached_model("lsq" + sr_tag, lambda: train_lsq(
         x_train, chain.B, chain.R, lsq_cfg, verbose=True))
 
-    enc_path = os.path.join(cache, "lsq_codes.npz") if cache else None
+    enc_path = os.path.join(cache, f"lsq{sr_tag}_codes.npz") if cache else None
     if enc_path and os.path.exists(enc_path):
         print("[repro] stage-cache hit: lsq base codes")
         z = ckpt.load_codes(enc_path)
@@ -306,6 +317,73 @@ def main():
         print(f"[repro] LSQ-{rounds} done: "
               f"{table['methods'][f'LSQ-{rounds}']['recall']}")
 
+    # Write the dense-method artifact NOW so an SLSQ-stage failure (the
+    # longest optional tail) cannot lose the completed rows; rewritten
+    # with the SLSQ rows below.
+    with open(args.out, "w") as f:
+        json.dump(table, f, indent=2)
+
+    # === Sparse LSQ (reference demos/demo_lsq_sparse.jl:11-46): m=7 + norm
+    # byte from a PQ m=7 init with R=I; SLSQ1: S=d*h, tau=0.7*||C_PQ||_1;
+    # SLSQ2: S=d*h+d^2, tau=0.9. Reports the sparsity/recall trade next to
+    # dense LSQ at the same 64-bit budget (it is NOT in the ordering
+    # assertion: sparsity deliberately trades recall for model size).
+    if args.with_slsq:
+        from local_search_quantization_tpu.models.slsq import train_lsq_sparse
+        from local_search_quantization_tpu.utils.config import SLSQConfig
+
+        d = x_train.shape[1]
+        pq7 = _cached_model("pq7", lambda: train_pq(
+            x_train,
+            PQConfig(m=m_lsq, h=h, kmeans_maxiter=max(25, args.niter),
+                     seed=args.seed),
+        ))
+        R_I = np.eye(d, dtype=np.float32)
+        for variant, S, tau_scale in (
+            ("SLSQ1", d * h, 0.7),
+            ("SLSQ2", d * h + d * d, 0.9),
+        ):
+            t = time.time()
+            cfg_s = SLSQConfig(m=m_lsq, h=h, niter=args.niter,
+                               seed=args.seed, S=S, tau_scale=tau_scale)
+            sl = _cached_model(
+                variant.lower(),
+                lambda cfg_s=cfg_s: train_lsq_sparse(
+                    x_train, pq7.B, pq7.C_sub, R_I, cfg_s, verbose=True))
+            sp_path = (os.path.join(cache, f"{variant.lower()}_codes.npz")
+                       if cache else None)
+            if sp_path and os.path.exists(sp_path):
+                print(f"[repro] stage-cache hit: {variant} base codes")
+                z_sp = ckpt.load_codes(sp_path)
+                B_sp, cost_sp = z_sp["B"], z_sp["cost"]
+            else:
+                B0 = random_codes(args.seed + 3, x_base.shape[0], m_lsq, h)
+                enc_sp = icm.encode_chunked(
+                    jax.random.PRNGKey(args.seed + 4), x_base, B0, sl.C,
+                    ilsiter=milestones[-1], icmiter=cfg_s.icmiter,
+                    npert=cfg_s.npert, randord=cfg_s.randord,
+                )
+                B_sp, cost_sp = np.asarray(enc_sp.B), np.asarray(enc_sp.cost)
+                if sp_path:
+                    ckpt.save_codes(sp_path, B_sp, {"cost": cost_sp})
+            bn_sp = np.asarray(norms.quantize_norms(B_sp, sl.C, sl.cbnorms))
+            res = adc.linscan_lsq(B_sp, x_query, sl.C,
+                                  np.asarray(sl.cbnorms)[bn_sp], k=args.knn,
+                                  **scan_kw)
+            table["methods"][variant] = {
+                "train_mse": float(sl.obj[-1]),
+                "base_mse": float(np.mean(cost_sp)),
+                "S": int(S), "tau_scale": tau_scale,
+                "l0": int(sl.l0[-1]), "l1": float(sl.l1[-1]),
+                "dense_l0": int(d * h * m_lsq),
+                "recall": recall_at(gt, np.asarray(res.ids)),
+                "wall_s": round(time.time() - t, 1),
+            }
+            print(f"[repro] {variant} done "
+                  f"({table['methods'][variant]['wall_s']}s, "
+                  f"l0={int(sl.l0[-1])}/{d * h * m_lsq}): "
+                  f"{table['methods'][variant]['recall']}")
+
     with open(args.out, "w") as f:
         json.dump(table, f, indent=2)
     print(f"[repro] wrote {args.out}")
@@ -320,7 +398,12 @@ def main():
         table["methods"][f"LSQ-{r}"]["recall"][key] for r in milestones
     )
     print(f"[repro] {key}: PQ={r_pq:.4f} OPQ={r_opq:.4f} LSQ={r_lsq:.4f}")
-    ok = r_lsq >= r_opq * 0.98 and r_opq >= r_pq * 0.90 and r_lsq > r_pq
+    # STRICT at r@10: at nq=10000 the r@10 std error is ~0.004, so the
+    # papers' LSQ > OPQ margin must show without slack (VERDICT r3 item 2;
+    # corpus v4 exists precisely to make this ordering hold — slack here
+    # once masked a corpus-v3 inversion). The norm byte legitimately bites
+    # only at r@1-2, which this assertion deliberately does not gate.
+    ok = r_lsq >= r_opq and r_opq >= r_pq * 0.90 and r_lsq > r_pq
     if not ok:
         raise SystemExit(
             f"[repro] ORDERING FAILED: expected LSQ >= OPQ >= PQ at {key}"

@@ -66,6 +66,10 @@ GOLDEN = {
     # Beyond the reference: greedy residual VQ sits between PQ and LSQ at
     # equal bits, as expected for the family (models/rvq.py docstring).
     "RVQ": {1: 0.292, 10: 0.788, 100: 0.992},
+    # Sparse LSQ at the reference's SLSQ1 budget (S = d*h -> l0 14% of
+    # dense here): recall stays in the LSQ family's band — the trade the
+    # method promises (LSQ_SPGL1.jl:7-120, demo_lsq_sparse.jl:32-41).
+    "SLSQ1": {1: 0.288, 10: 0.840, 100: 0.988},
 }
 
 
@@ -158,3 +162,31 @@ def test_golden_lsq_milestones(data):
         dbn = np.asarray(lsq.cbnorms)[bn]
         res = adc.linscan_lsq(B_ms, data.query, lsq.C, dbn, k=100)
         check(f"LSQ-{rounds}", recall_at(data.gt, res.ids))
+
+
+def test_golden_slsq(data):
+    """Sparse LSQ (reference demos/demo_lsq_sparse.jl:11-46): PQ m=7 init,
+    R=I, SLSQ1 budget S=d*h with tau = 0.7*||C_PQ||_1. Gates BOTH sides of
+    the trade the method exists for: the codebooks actually go sparse
+    (l0 <= S < dense) AND recall stays in the LSQ family's band."""
+    from local_search_quantization_tpu.models.slsq import train_lsq_sparse
+    from local_search_quantization_tpu.utils.config import SLSQConfig
+
+    m, h = 7, 64
+    d = data.train.shape[1]
+    pq7 = train_pq(data.train, PQConfig(m=m, h=h, kmeans_maxiter=30, seed=0))
+    cfg = SLSQConfig(m=m, h=h, niter=6, seed=0, S=d * h, tau_scale=0.7)
+    sl = train_lsq_sparse(data.train, pq7.B, pq7.C_sub,
+                          np.eye(d, dtype=np.float32), cfg)
+    assert int(sl.l0[-1]) <= d * h < m * h * d  # sparse by construction
+    B0 = random_codes(0, data.base.shape[0], m, h)
+    enc = icm.encode_chunked(
+        jax.random.PRNGKey(1), data.base, B0, sl.C, ilsiter=16,
+        icmiter=cfg.icmiter, npert=cfg.npert, chunk=1 << 14,
+    )
+    bn = np.asarray(norms.quantize_norms(enc.B, sl.C, sl.cbnorms))
+    res = adc.linscan_lsq(np.asarray(enc.B), data.query, sl.C,
+                          np.asarray(sl.cbnorms)[bn], k=100)
+    rec = recall_at(data.gt, res.ids)
+    print("SLSQ golden-candidate:", rec, "l0:", int(sl.l0[-1]), "/", m * h * d)
+    check("SLSQ1", rec)

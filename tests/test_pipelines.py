@@ -142,3 +142,42 @@ def test_lsq_objective_nonincreasing(data):
     )
     objs = np.asarray(lsq.obj)
     assert (np.diff(objs) <= np.abs(objs[:-1]) * 0.01).all(), objs
+
+
+def test_repro_paper_smoke(tmp_path):
+    """scripts/repro_paper.py plumbing at smoke scale (subprocess, CPU):
+    every optional method row (--with-chainq, --with-slsq SLSQ1/SLSQ2)
+    lands in the JSON artifact with a full recall curve. The strict
+    LSQ >= OPQ ordering assertion is a paper-scale contract — at this
+    tiny scale an inversion is sampling noise, so a nonzero exit is
+    tolerated iff it is that assertion (the artifact is written first)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "table.json"
+    proc = subprocess.run(
+        [sys.executable, "scripts/repro_paper.py",
+         "--dataset", "synthetic", "--ntrain", "600", "--nbase", "3000",
+         "--nquery", "40", "--niter", "2", "--h", "16", "--knn", "40",
+         "--milestones", "2", "--with-chainq", "--with-slsq",
+         "--platform", "cpu", "--scan-mode", "gather",
+         "--stage-cache", str(tmp_path / "stages"), "--out", str(out)],
+        cwd=repo, capture_output=True, text=True, timeout=1800,
+    )
+    assert proc.returncode == 0 or "ORDERING FAILED" in (
+        proc.stdout + proc.stderr
+    ), proc.stderr[-2000:] + proc.stdout[-2000:]
+    with open(out) as f:
+        table = json.load(f)
+    rows = table["methods"]
+    for name in ("PQ", "OPQ", "ChainQ", "LSQ-2", "SLSQ1", "SLSQ2"):
+        assert name in rows, (name, sorted(rows))
+        assert rows[name]["recall"]["r@10"] >= 0.0
+    for name in ("SLSQ1", "SLSQ2"):
+        assert 0 < rows[name]["l0"] <= rows[name]["S"]
+    # SLSQ1's budget (S = d*h) is below dense at ANY h; SLSQ2's
+    # (S = d*h + d^2) only at the reference's h=256 scale, not this smoke h.
+    assert rows["SLSQ1"]["l0"] < rows["SLSQ1"]["dense_l0"]
