@@ -6,7 +6,14 @@ SIFT-statistics corpus so every pipeline (and CI) runs end-to-end without
 downloading TEXMEX data (/root/reference/src/read/read_datasets.jl:16-34
 reads the real files; this is the offline stand-in).
 
-Corpus model (v4 — all constants publishable, no data files; v3 re-
+Corpus model (v5 — all constants publishable, no data files. v5 adds
+SAMPLE-norm concentration, norm_sigma=0.10: v4 concentrated only CLUSTER
+CENTER norms, leaving sample-norm CV at 0.31 vs real SIFT's ~0.10, and the
+resulting 1-byte norm-quantizer error inverted LSQ vs OPQ at r@10 at 1M
+scale — measured +0.009 r@10 for LSQ-32 with exact f32 norms on the same
+codes (scripts/diag_normbyte.py). With v5 the oracle sweep gives
+LSQ+normbyte r@10 .889 > OPQ .841 > PQ .791 at unchanged hardness
+(lsq_mse/sqnorm 0.083). v3 re-
 calibrated the within-cluster spread 3x up, concentrated norms, and moved
 planted queries out to alpha=0.8 after the v2 calibration proved too easy:
 quantization noise was so far below NN margins that the 1-byte norm
@@ -91,6 +98,7 @@ def synthetic_dataset(
     query_alpha: float = 0.8,
     planted_frac: float = 0.9,
     basis_mix: float = 0.4,
+    norm_sigma: float | None = 0.10,
 ) -> SynthData:
     """SIFT-statistics corpus with exact ground truth.
 
@@ -114,6 +122,21 @@ def synthetic_dataset(
         over rotated product codes on SIFT1M. 0.4 is the calibrated
         default (mix=1.0 is too diverse: it hurts additive codes as much
         as rotated ones and re-inverts the ordering — see the v4 sweep).
+      norm_sigma: lognormal sigma of SAMPLE L2 norms (v5). The SIFT
+        pipeline L2-renormalizes every descriptor (normalize -> clip 0.2
+        -> renormalize), so real SIFT1M norms concentrate tightly
+        (CV ~ 0.1); v4 concentrated only the CLUSTER CENTER norms and let
+        the 1.512x within-cluster spread leak into sample norms
+        (measured CV 0.31, sqnorm CV 0.70). That radial spread is pure
+        handicap for the additive methods' 1-byte norm quantizer (256
+        k-means bins over a 12x p1..p99 sqnorm range -> p99 error 1.6e-2
+        of sqnorm, comparable to 1M-scale NN margins: measured r@10
+        -0.009 for LSQ-32, enough to invert the papers' LSQ > OPQ
+        ordering at paper scale while exact-norm scans preserve it).
+        Each sample is radially rescaled to a lognormal(log nbar,
+        norm_sigma) target norm — directions (the tangential structure
+        that separates the method families) are untouched. None = v4
+        behavior (no sample-norm concentration).
     """
     rng = np.random.default_rng(seed)
     K = n_clusters or int(min(4096, max(64, n_base // 256)))
@@ -212,9 +235,24 @@ def synthetic_dataset(
         # SIFT values are nonnegative uint8-range integers.
         return np.clip(np.rint(x), 0.0, 255.0).astype(np.float32)
 
+    def concentrate(x, rng):
+        """v5: radially rescale each sample to a lognormal target norm
+        (SIFT's own renormalization step; see the norm_sigma doc above).
+        Directions are preserved exactly; only the radial coordinate —
+        which real SIFT's pipeline pins and which only taxes the 1-byte
+        norm quantizer — is concentrated. Planted queries are NOT
+        re-concentrated (they are anchor + offset, and a query's own norm
+        is a per-query constant in the ranking)."""
+        if norm_sigma is None:
+            return x
+        nrm = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
+        tgt = 480.0 * np.exp(rng.normal(0.0, norm_sigma, size=(x.shape[0], 1)))
+        return x * (tgt / nrm)
+
     def draw(n, rng=rng):
         cids = rng.choice(K, size=n, p=p)
-        return finish(centers[cids] + offsets(cids, rng=rng)), cids
+        x = centers[cids] + offsets(cids, rng=rng)
+        return finish(concentrate(x, rng)), cids
 
     train, _ = draw(n_train)
     base, base_cids = draw(n_base)

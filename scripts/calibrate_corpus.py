@@ -50,11 +50,12 @@ def recall_oracle(recon64, q64, gt, ns=(1, 10, 100)):
     return {f"r@{n}": round(float((hitrank < n).mean()), 3) for n in ns}
 
 
-def one(mix, noise, alpha, ntrain, nbase, nquery, niter, seed=0, h=256):
+def one(mix, noise, alpha, ntrain, nbase, nquery, niter, seed=0, h=256,
+        norm_sigma=0.10):
     t0 = time.time()
     dd = synthetic_dataset(seed, d=128, n_train=ntrain, n_base=nbase,
                            n_query=nquery, noise=noise, query_alpha=alpha,
-                           basis_mix=mix)
+                           basis_mix=mix, norm_sigma=norm_sigma)
     q64 = dd.query.astype(np.float64)
 
     pq = train_pq(dd.train, PQConfig(m=8, h=h, kmeans_maxiter=niter, seed=seed))
@@ -96,7 +97,7 @@ def one(mix, noise, alpha, ntrain, nbase, nquery, niter, seed=0, h=256):
         pq=float(pq.error), opq=float(opq.obj[-1]),
         lsq=float(np.mean(enc.milestone_cost[0])))
     hard = mse["lsq"] / sq.mean()  # SIFT1M@64bit sits near ~0.2
-    print(f"[cal] mix={mix} noise={noise} alpha={alpha} "
+    print(f"[cal] mix={mix} noise={noise} alpha={alpha} ns={norm_sigma} "
           f"({time.time() - t0:.0f}s)\n"
           f"      mse: PQ={mse['pq']:.0f} OPQ={mse['opq']:.0f} "
           f"LSQ={mse['lsq']:.0f} lsq_mse/sqnorm={hard:.3f}\n"
@@ -114,7 +115,10 @@ if __name__ == "__main__":
     ap.add_argument("--nquery", type=int, default=800)
     ap.add_argument("--niter", type=int, default=15)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--norm-sigma", type=float, default=0.10,
+                    help="v5 sample-norm lognormal sigma; <0 = None (v4 behavior)")
     a = ap.parse_args()
     for mix in a.mixes:
+        ns = None if a.norm_sigma < 0 else a.norm_sigma
         one(mix, a.noise, a.alpha, a.ntrain, a.nbase, a.nquery, a.niter,
-            seed=a.seed)
+            seed=a.seed, norm_sigma=ns)

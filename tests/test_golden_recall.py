@@ -1,7 +1,7 @@
 """Golden end-to-end recall gates (VERDICT r2 item 2).
 
 Pins recall@{1,10,100} for PQ, OPQ, and LSQ-8/LSQ-16 on the deterministic
-SIFT-statistics corpus (utils/synth.py v4) at a CI-scale config. The
+SIFT-statistics corpus (utils/synth.py v5) at a CI-scale config. The
 reference has no tests at all (SURVEY.md §4); its quality contract is "the
 demos reproduce the papers' numbers" (/root/reference/README.md:171-177).
 These gates are the CI-sized version of that contract: a quality
@@ -45,31 +45,33 @@ BAND = 0.03  # absolute recall tolerance (see module docstring)
 # (8 virtual CPU devices — the host threadpool split shifts fp reduction
 # orders enough to move small-sample recall by ~0.03 vs a 1-device run,
 # which is exactly what the band absorbs).
-# Corpus: v4 calibration (utils/synth.py: per-cluster direction banks
-# basis_mix=0.4 + 1.8x the v3 spread — see the synth.py module docstring
-# and scripts/calibrate_corpus.py). Absolute recalls at this 15k-base CI
+# Corpus: v5 calibration (utils/synth.py: per-cluster direction banks
+# basis_mix=0.4, 1.8x the v3 spread, plus v5's sample-norm concentration
+# norm_sigma=0.10 — see the synth.py module docstring and
+# scripts/calibrate_corpus.py). Absolute recalls at this 15k-base CI
 # scale sit in a band comparable to the papers' SIFT1M curves. NOTE these
 # pins are regression gates, not an ordering assertion (that is asserted
-# at paper scale by scripts/repro_paper.py) — though since the OPQ/ChainQ
-# loop-bound parity fixes, LSQ >= OPQ holds at r@10 even at this scale.
+# at paper scale by scripts/repro_paper.py).
 GOLDEN = {
-    # Re-pinned after the reference-parity fixes to the OPQ/ChainQ loop
-    # bounds (the reference's `for iter=0:niter` is inclusive — one MORE
-    # alternation than we ran) and OPQ's per-subspace independent init
-    # draws (OPQ.jl:51-54). LSQ improved across the board from the better
-    # warm start; OPQ's r@1 moved with its changed init stream.
-    "PQ": {1: 0.264, 10: 0.776, 100: 0.988},
-    "OPQ": {1: 0.308, 10: 0.804, 100: 0.996},
-    "LSQ-8": {1: 0.328, 10: 0.804, 100: 1.0},
-    "LSQ-16": {1: 0.340, 10: 0.816, 100: 0.996},
-    "ChainQ": {1: 0.244, 10: 0.776, 100: 0.984},
+    # Re-pinned on corpus v5 (sample-norm concentration, norm_sigma=0.10 —
+    # see utils/synth.py). The additive family gains the most: the 1-byte
+    # norm quantizer's tax collapses once sample norms concentrate the way
+    # real SIFT's renormalization pipeline pins them, so at this CI scale
+    # the full expected ordering already holds at r@10:
+    # LSQ-8 0.836 > OPQ 0.744 > PQ 0.640 (ordering itself is asserted at
+    # paper scale by scripts/repro_paper.py).
+    "PQ": {1: 0.228, 10: 0.640, 100: 0.972},
+    "OPQ": {1: 0.252, 10: 0.744, 100: 0.996},
+    "LSQ-8": {1: 0.376, 10: 0.836, 100: 1.0},
+    "LSQ-16": {1: 0.372, 10: 0.840, 100: 1.0},
+    "ChainQ": {1: 0.264, 10: 0.736, 100: 1.0},
     # Beyond the reference: greedy residual VQ sits between PQ and LSQ at
     # equal bits, as expected for the family (models/rvq.py docstring).
-    "RVQ": {1: 0.292, 10: 0.788, 100: 0.992},
+    "RVQ": {1: 0.316, 10: 0.888, 100: 1.0},
     # Sparse LSQ at the reference's SLSQ1 budget (S = d*h -> l0 14% of
     # dense here): recall stays in the LSQ family's band — the trade the
     # method promises (LSQ_SPGL1.jl:7-120, demo_lsq_sparse.jl:32-41).
-    "SLSQ1": {1: 0.288, 10: 0.840, 100: 0.988},
+    "SLSQ1": {1: 0.248, 10: 0.808, 100: 0.996},
 }
 
 
