@@ -402,11 +402,12 @@ def _run_scan(
         if on_tpu and k <= 10240 and 4 * k < n:
             # The fused scan+select kernel covers the reference's full
             # linscan depth range (k defaults to 10000, Linscan.jl:5). At
-            # k > 2048 the kernel branch switches to the replace-worst
-            # buffer + one post-kernel XLA sort with a small query block
-            # (O(cap) insert passes): measured 1,028 qps warm at k=10000
-            # over 1M (nqt=256, tb=4096, v5e) vs 167 for the group-minima
-            # tournament whose two lax.top_k(k=10000) calls dominate it.
+            # k > 2048 the kernel branch switches to grouped_unsorted
+            # (two-level extraction + replace-worst buffer + one
+            # post-kernel XLA sort) with a small query block: measured
+            # 1,096 qps warm at k=10000 over 1M (nqt=256, tb=4096, v5e)
+            # vs 167 for the group-minima tournament whose two
+            # lax.top_k(k=10000) calls dominate it.
             # The 10240 bound is the verified VMEM envelope: the kernel's
             # double-buffered [nqt, cap] output windows are 16*nqt*cap
             # bytes (nqt=512 at cap=10112 already OOMs 128M vmem); deeper
@@ -454,22 +455,14 @@ def _run_scan(
             else jnp.zeros(Bj.shape[1], jnp.float32)
         )
         interp = jax.default_backend() != "tpu"
-        import os as _os
-        large_k = k > 2048
-        # Large k: the sorted buffer's O(cap) insert passes are bounded by
-        # a small query block + replace-worst buffer (one XLA sort after
-        # the kernel restores the output contract). Small/medium k keeps
-        # the measured-optimal sorted geometry.
-        variant = _os.environ.get(
-            "LSQ_TPU_SELECT_VARIANT", "unsorted" if large_k else "sorted"
+        # Measured-optimal geometry, centralized with the sharded route
+        # (select_pallas.select_geometry: grouped/tb=8192 at k<=2048,
+        # grouped_unsorted/tb=4096/nqt=256 beyond; env-overridable).
+        from local_search_quantization_tpu.ops.select_pallas import (
+            select_geometry,
         )
-        nqt = int(_os.environ.get("LSQ_TPU_SELECT_NQT", "0")) or (
-            256 if large_k else None
-        )
-        # tb shared by warm scan and fallback: one compiled shape. 4096
-        # measured best for the sorted k<=2048 path on the transposed
-        # layout (5,619 qps vs 5,362 at tb=2048; nq=1024, k=1000, v5e).
-        tb = int(_os.environ.get("LSQ_TPU_SELECT_TB", "0")) or 4096
+
+        variant, tb, nqt = select_geometry(k, n=Bj.shape[1])
         d, i, bad = scan_topk_warm(
             luts, Bj, extra_arr, k=k, tb=tb, nqt=nqt, interpret=interp,
             deferred=True, variant=variant,

@@ -496,6 +496,50 @@ def _rerank_ids(luts_flat: Array, Bt: Array, extra: Array, ids: Array,
     return jnp.where(ids < 0, jnp.inf, exact)
 
 
+def select_geometry(k: int, n: int | None = None):
+    """Measured-optimal (variant, tb, nqt) for the fused select kernel.
+
+    The single source of truth for the default kernel geometry, shared by
+    the single-chip route (ops/adc._run_scan) and the sharded route
+    (parallel/query.sharded_scan_topk) so both hit one compiled shape
+    family. Values are the round-3 v5e sweep (BASELINE.md "grouped
+    variant" section; 1M base, m=7, h=256):
+
+    - k <= 2048: variant="grouped" (fold-pyramid two-level extraction,
+      up to 128 extractions per full-width pass) at tb=8192. Warm qps at
+      k=1000, nq=2048: 8,426 vs the previous sorted/tb=4096 default's
+      6,456 (+31%); k=100 cold 11,908 / warm 12,068 vs sorted's ~10.1k
+      cold. Bigger tiles keep paying once extraction passes are 1/64
+      width: tb 4096 -> 8192 moved k=1000 from 7,643 to 8,426.
+    - k > 2048: variant="grouped_unsorted" (replace-worst buffer + one
+      post-kernel XLA sort; sorted inserts are O(cap) at this depth) at
+      tb=4096, nqt=256: 1,096 qps at k=10000 vs the plain unsorted
+      1,028. tb=8192 regressed this route (1,019 — the [nqt, cap]
+      output windows dominate VMEM at cap~10k, forcing tiny blocks).
+
+    n (optional) caps tb at the padded problem size so interpret-mode
+    tests over tiny bases don't pay 8192-wide padding.
+
+    Env overrides (tuning sweeps): LSQ_TPU_SELECT_VARIANT,
+    LSQ_TPU_SELECT_TB, LSQ_TPU_SELECT_NQT.
+    """
+    import os as _os
+
+    if k > 2048:
+        variant, tb, nqt = "grouped_unsorted", 4096, 256
+    else:
+        variant, tb, nqt = "grouped", 8192, None
+    if n is not None:
+        while tb > 256 and tb // 2 >= n:
+            tb //= 2
+    variant = _os.environ.get("LSQ_TPU_SELECT_VARIANT", variant)
+    tb = int(_os.environ.get("LSQ_TPU_SELECT_TB", "0")) or tb
+    env_nqt = int(_os.environ.get("LSQ_TPU_SELECT_NQT", "0"))
+    if env_nqt:
+        nqt = env_nqt
+    return variant, tb, nqt
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tb", "nqt", "interpret", "variant", "append_cap"),

@@ -68,23 +68,20 @@ def sharded_scan_topk(
         n_loc = Bt.shape[1]
         if method == "kernel":
             from local_search_quantization_tpu.ops.select_pallas import (
-                fused_scan_topk,
+                fused_scan_topk, select_geometry,
             )
 
             e = extra if extra is not None else jnp.zeros(
                 n_loc, jnp.float32
             )
             kk = min(k, n_loc)
-            # Same tuned geometry as the single-chip route (ops/adc.py):
-            # tb=4096 measured best on the transposed layout; k > 2048
-            # switches to the replace-worst buffer at a small query block
-            # (the sorted buffer's O(cap) inserts dominate at depth).
-            # One geometry across both paths = one compiled kernel shape.
-            large_k = kk > 2048
+            # Same tuned geometry as the single-chip route (ops/adc.py),
+            # via the shared select_geometry (grouped fold-pyramid
+            # extraction; BASELINE.md "grouped variant" sweep). One
+            # geometry across both paths = one compiled kernel shape.
+            variant, tb, nqt = select_geometry(kk, n=n_loc)
             d_, i_ = fused_scan_topk(
-                luts, Bt, e, k=kk, tb=4096,
-                nqt=256 if large_k else None,
-                variant="unsorted" if large_k else "sorted",
+                luts, Bt, e, k=kk, tb=tb, nqt=nqt, variant=variant,
                 interpret=not on_tpu,
             )
             if k > n_loc:  # tiny-shard: pad honest sentinels
