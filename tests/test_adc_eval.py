@@ -515,3 +515,33 @@ def test_scan_sentinel_contract(rng, method):
     assert (ids[:, :10] < 10).all() and (ids[:, :10] >= 0).all()
     assert np.isinf(dists[:, 10:]).all()
     assert (ids[:, 10:] == -1).all(), ids[:, 10:]
+
+
+def test_select_geometry_defaults(monkeypatch):
+    """select_geometry is the single source of the kernel's default
+    (variant, tb, nqt) for both query routes (ops/adc._run_scan and
+    parallel/query.sharded_scan_topk). Pins the measured-optimal round-3
+    sweep outcome (BASELINE.md "grouped variant" section) and the env
+    override + tiny-base tb capping contracts."""
+    from local_search_quantization_tpu.ops.select_pallas import (
+        select_geometry,
+    )
+
+    for var in ("LSQ_TPU_SELECT_VARIANT", "LSQ_TPU_SELECT_TB",
+                "LSQ_TPU_SELECT_NQT"):
+        monkeypatch.delenv(var, raising=False)
+    assert select_geometry(1000) == ("grouped", 8192, None)
+    assert select_geometry(2048) == ("grouped", 8192, None)
+    assert select_geometry(2049) == ("grouped_unsorted", 4096, 256)
+    assert select_geometry(10000) == ("grouped_unsorted", 4096, 256)
+    # Tiny bases cap tb (interpret-mode tests should not pad 100 rows to
+    # 8192) but never below the 128-lane minimum, and keep power-of-two.
+    assert select_geometry(10, n=100) == ("grouped", 256, None)
+    assert select_geometry(10, n=5000) == ("grouped", 8192, None)
+    v, tb, _ = select_geometry(10, n=1)
+    assert tb == 256 and (tb & (tb - 1)) == 0
+    # Env overrides (tuning sweeps) win over the measured defaults.
+    monkeypatch.setenv("LSQ_TPU_SELECT_VARIANT", "sorted")
+    monkeypatch.setenv("LSQ_TPU_SELECT_TB", "2048")
+    monkeypatch.setenv("LSQ_TPU_SELECT_NQT", "512")
+    assert select_geometry(1000) == ("sorted", 2048, 512)
