@@ -168,6 +168,12 @@ def main():
         "nquery": int(x_query.shape[0]), "niter": args.niter, "bits": 64,
         "methods": {},
     }
+    if args.sr != "none":
+        # Provenance: without this a reader of recall_table_{src,srd}.json
+        # cannot tell which stochastic-relaxation mode produced the LSQ
+        # rows except by filename.
+        table["sr"] = args.sr
+        table["sr_scale"] = args.sr_scale
 
     # --- Stage cache: resume an interrupted pipeline at stage granularity.
     import os
