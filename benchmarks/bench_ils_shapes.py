@@ -33,18 +33,22 @@ def bench_config(m: int, h: int, *, n: int = 1 << 17, d: int = 128,
     B = jnp.asarray(rng.integers(0, h, size=(n, m), dtype=np.int32))
 
     def run(rounds: int) -> float:
+        # X and C are ARGUMENTS, not closure constants: closed-over arrays
+        # are inlined into the serialized HLO, and at d=960 the 503 MB X
+        # constant overflows the remote-compile HTTP hop (observed live:
+        # "HTTP 413: length limit exceeded").
         fn = jax.jit(
-            lambda key, B: ils_encode(
+            lambda key, X, B, C: ils_encode(
                 key, X, B, C, ilsiter=rounds, icmiter=icmiter, npert=npert,
                 randord=True, condition_mode="kernel",
             )
         )
-        res = fn(jax.random.PRNGKey(0), B)
+        res = fn(jax.random.PRNGKey(0), X, B, C)
         _ = np.asarray(res.cost[:1])  # compile + force
         best = float("inf")
         for t in range(TRIALS):
             t0 = time.perf_counter()
-            res = fn(jax.random.PRNGKey(t + 1), B)
+            res = fn(jax.random.PRNGKey(t + 1), X, B, C)
             _ = np.asarray(res.cost[:1])
             best = min(best, time.perf_counter() - t0)
         return best
