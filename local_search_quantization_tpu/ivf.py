@@ -59,10 +59,18 @@ def topk_lex(d: np.ndarray, ids: np.ndarray, k: int):
     keep = np.flatnonzero(np.isfinite(d))
     kq = min(k, keep.size)
     if kq:
-        top = keep[np.argpartition(d[keep], kq - 1)[:kq]]
-        o2 = np.lexsort((ids[top], d[top]))
-        out_d[:kq] = d[top][o2]
-        out_i[:kq] = ids[top][o2]
+        # argpartition alone resolves a tie block straddling the k
+        # boundary ARBITRARILY (introselect order — found returning the
+        # wrong tie-mates on small-h codes where the top-k is one giant
+        # equal-code block). Widen the candidate set to every element <=
+        # the boundary value so the lexsort sees all tie-mates; typical
+        # cost stays O(n + (k + T) log (k + T)) for a tie block of T.
+        dk = d[keep]
+        thr = dk[np.argpartition(dk, kq - 1)[:kq]].max()
+        cand = keep[dk <= thr]
+        o2 = np.lexsort((ids[cand], d[cand]))[:kq]
+        out_d[:kq] = d[cand][o2]
+        out_i[:kq] = ids[cand][o2]
     return out_d, out_i
 
 

@@ -228,6 +228,17 @@ def _scan_topk_tournament(
     choice for SIFT1B-scale bases (fixes the round-1 twopass blowup).
     (Reference design point: partial_sort over a 1e7 buffer,
     linscan_aqd.cpp:52-53,91.)
+
+    Tie caveat — the one scan path that is NOT fully (dist, id)-
+    lexicographic: a tie-mate exactly at the k-th value whose group lost
+    the minima tournament never enters the candidate set, so WHICH
+    equal-valued ids survive the k boundary is group-rank-biased (making
+    it exact would need every group with min <= the k-th value —
+    unbounded under adversarial all-equal data). Retained ties ARE
+    returned in ascending-id order (final num_keys=2 sort). _run_scan
+    therefore routes here only on TPU at k > the select kernel's VMEM
+    envelope, where f32 full-precision ties are measure-zero; hosts
+    without the native scanner take the lexicographic streaming merge.
     """
     nq = luts.shape[0]
     m, n = Bt.shape
@@ -298,8 +309,12 @@ def _scan_topk_tournament(
     # rows / fewer than k live candidates) carry id -1, never a real row
     # id (downstream stages like refine.rerank rely on this).
     d = -nd
-    ids = jnp.where(jnp.isinf(d), -1, ids)
-    return KNNResult(d, ids.astype(jnp.int32))
+    ids = jnp.where(jnp.isinf(d), -1, ids).astype(jnp.int32)
+    # Retained equal-distance ties ascend by id (top_k's stable order is
+    # candidate-POSITION order = group rank, not id) — see the docstring's
+    # tie caveat; survival at the boundary remains group-rank-biased.
+    d, ids = jax.lax.sort((d, ids), dimension=1, num_keys=2)
+    return KNNResult(d, ids)
 
 
 def _run_scan(
@@ -413,11 +428,22 @@ def _run_scan(
             # bytes (nqt=512 at cap=10112 already OOMs 128M vmem); deeper
             # k falls back to the tournament.
             topk_method = "kernel"
-        elif 4 * k < n:
-            # Too-deep-for-VMEM k (or CPU): the group-minima tournament is
-            # exact and far cheaper than the per-block lax.top_k merge.
+        elif on_tpu and 4 * k < n:
+            # Too-deep-for-VMEM k: the group-minima tournament is
+            # value-exact and far cheaper than the per-block lax.top_k
+            # merge. TPU-only: its tie survival is group-rank-biased (see
+            # _scan_topk_tournament's docstring), acceptable at f32
+            # full-precision distances where exact ties are measure-zero.
             topk_method = "tournament"
         else:
+            # Host fallback without the native scanner (and the n <= 4k
+            # shallow case everywhere): the streaming lax.top_k merge.
+            # Chosen over the (faster) tournament off-TPU because it is
+            # exactly (dist, id)-lexicographic — stable top_k over
+            # id-ascending blocks — so the native scanner, the Pallas
+            # kernel, the sharded-mesh route, and this route all agree
+            # id-for-id even on tie-heavy small-h codes (route-parity
+            # tests pin this).
             topk_method = "exact"
     pad = (-n) % base_block
     if pad:

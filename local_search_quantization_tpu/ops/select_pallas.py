@@ -21,7 +21,12 @@ selection entirely:
   with an exactness certificate (buffer slot k-1 filled => provably exact;
   the rare under-capture is detected and falls back to an exact cold run);
 - the sorted buffer doubles as the kernel output: results come back
-  already sorted ascending, ids exact;
+  already sorted ascending, ids exact. Output order is (dist, id)-
+  LEXICOGRAPHIC — equal distances ascend by id, and the ids surviving at
+  the k-th-value boundary are the lowest — across every variant, matching
+  the native host scanner (native/lsq_native.cpp), lax.top_k's stable tie
+  rule (the sharded-mesh merge and the scan fallbacks), and np.lexsort
+  oracles, so route-parity holds even on tie-heavy (small-h) data;
 - variant="unsorted" replaces the insertion-sorted buffer with a
   replace-worst buffer (~2x fewer vector passes per insert) and defers
   sorting to ONE post-kernel XLA key-value sort over the raw [nq, cap]
@@ -162,11 +167,16 @@ def _select_kernel(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref, t0_ref,
                 jnp.max(new_d, axis=1, keepdims=True), t0_ref[:, :]
             )
         else:
-            # Predicated sorted insert at pos = #(buffer < v); inactive
-            # rows get pos = cap, which leaves the buffer untouched
-            # (every lane is "below" the insert point).
+            # Predicated sorted insert at pos = #(buffer <= v): equal
+            # values keep arrival order, and extraction emits equal values
+            # lowest-id-first, so tie blocks come out ASCENDING by id —
+            # the same (dist, id)-lexicographic contract as the native
+            # host scanner and lax.top_k (act guarantees pos <= k-1 < cap:
+            # vmin < thr <= buf[k-1] bounds every <=-counted slot below
+            # k-1). Inactive rows get pos = cap, which leaves the buffer
+            # untouched (every lane is "below" the insert point).
             pos = jnp.sum(
-                (buf_d < vmin).astype(jnp.int32), axis=1, keepdims=True
+                (buf_d <= vmin).astype(jnp.int32), axis=1, keepdims=True
             )
             pos = jnp.where(act, pos, cap)
             below = lane_cap < pos
@@ -221,6 +231,19 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
     unconditional kill). The outer loop re-runs the pyramid until no
     remaining element beats the threshold, so the result is exact.
 
+    Tie contract: unlike the plain kernel — whose extraction order is
+    globally (value, id)-sorted by construction, making its strict-<
+    value threshold lexicographically exact for free — grouped extraction
+    interleaves pyramid rounds, so a class's SECOND element at a tied
+    value can arrive after another class's higher id. The threshold is
+    therefore a lexicographic (value, id) PAIR everywhere it is compared
+    (accept, insert position, loop continuation, outer remaining-work
+    test): a candidate equal in value to the current k-th best still
+    enters if its id is lower. Both components only tighten, so the
+    unconditional-kill safety argument is unchanged, and the output is
+    the exact lexicographic (dist, id) top-k — identical to the plain
+    kernel and the native host scanner even under massive exact ties.
+
     Reference design point being replaced: the C++ scanner's serial
     heap/partial_sort over the scanned block
     (/root/reference/src/linscan/cpp/linscan_aqd.cpp:82-91)."""
@@ -240,9 +263,14 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
 
     def class_minima():
         """Exact (value, absolute lane) of each mod-128 lane class, via
-        log2(tb/128) compare-select folds of contiguous halves. Ties keep
-        the lower lane (deterministic; tie id order is unspecified in the
-        output contract).
+        log2(tb/128) compare-select folds of contiguous halves. Folds
+        compare (value, lane) lexicographically, so each class minimum is
+        the LOWEST absolute lane at the class's min value — together with
+        min_arg128's abs-lane tie-break this makes the extraction order
+        (value, id)-lexicographic, identical to _select_kernel's
+        argmin-first-occurrence rule. Tie id-order (which ids survive at
+        the k-th-value boundary) therefore matches the sorted variant and
+        the native host scanner.
 
         The folds run through the fv/fi scratch refs as 128-aligned
         static WINDOW loads/stores rather than shape-changing vector
@@ -258,7 +286,7 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
             w //= 2
             va, vb = fv_ref[:, 0:w], fv_ref[:, w:2 * w]
             ia, ib = fi_ref[:, 0:w], fi_ref[:, w:2 * w]
-            take = va <= vb
+            take = (va < vb) | ((va == vb) & (ia <= ib))
             fv_ref[:, 0:w] = jnp.where(take, va, vb)
             fi_ref[:, 0:w] = jnp.where(take, ia, ib)
         return fv_ref[:, 0:128], fi_ref[:, 0:128]  # [nqt, 128]
@@ -275,52 +303,96 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
             )
 
     def kth():
+        """Lexicographic (value, id) acceptance boundary: the buffer's
+        boundary pair tightened by the warm bound t0. When t0 is the
+        binding component the id bound is _MININT (t0 stays a STRICT
+        value bound — warm-certificate semantics unchanged); id -1 on
+        unfilled (inf) slots is harmless for the same reason (nothing
+        compares equal to inf)."""
         if unsorted:
             buf_kth = jnp.max(out_d_ref[:, :], axis=1, keepdims=True)
+            buf_ik = jnp.max(
+                jnp.where(out_d_ref[:, :] == buf_kth, out_i_ref[:, :],
+                          _MININT),
+                axis=1, keepdims=True,
+            )
         else:
             buf_kth = jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k))
-        return jnp.minimum(buf_kth, t0_ref[:, :])  # [nqt, 1]
+            buf_ik = jax.lax.slice(out_i_ref[:, :], (0, k - 1), (nqt, k))
+        thr = jnp.minimum(buf_kth, t0_ref[:, :])  # [nqt, 1]
+        tid = jnp.where(buf_kth <= t0_ref[:, :], buf_ik, _MININT)
+        return thr, tid
 
-    def min_arg128(cv):
-        """(min, argmin-lane) over the [nqt, 128] candidates WITHOUT
-        jnp.argmin: Mosaic fails to legalize argmin's f32->i32 vector
-        cast at single-vreg width inside these nested scf regions
+    def lex_beats(v, i, thr, tid):
+        """(v, i) lexicographically below the (thr, tid) boundary."""
+        return (v < thr) | ((v == thr) & (i < tid))
+
+    def min_arg128(cv, ci):
+        """(min, class, absolute lane) over the [nqt, 128] candidates
+        WITHOUT jnp.argmin: Mosaic fails to legalize argmin's f32->i32
+        vector cast at single-vreg width inside these nested scf regions
         ("unrealized_conversion_cast vector<8x128xf32> to i32", measured
-        on the v5e toolchain). min + masked lane-min is equivalent (ties
-        -> lowest lane, argmin's own tie rule)."""
+        on the v5e toolchain). Cross-class value ties break toward the
+        LOWEST ABSOLUTE LANE (ci, not the class index): with
+        class_minima's lexicographic folds this reproduces the plain
+        kernel's argmin-first-occurrence extraction order exactly, so
+        tie id SETS at the k boundary agree across variants. The class
+        is lane mod 128 (tb is a power of two >= 128, so & 127)."""
         vmin = jnp.min(cv, axis=1, keepdims=True)
-        idx = jnp.min(
-            jnp.where(cv == vmin, lane_g, 128), axis=1, keepdims=True
+        lane = jnp.min(
+            jnp.where(cv == vmin, ci, tb), axis=1, keepdims=True
         )
-        return vmin, idx
+        return vmin, jnp.bitwise_and(lane, 127), lane
 
-    def narrow(cv, ci, thr):
+    def narrow(cv, ci, thr, tid):
         """Threshold extraction over the [nqt, 128] candidates — the
         plain kernel's loop at 1/(tb/128) the per-iteration width, with
-        the buffer discipline (sorted insert / replace-worst) verbatim
-        from _select_kernel."""
+        the buffer discipline (sorted insert / replace-worst) from
+        _select_kernel made (value, id)-lexicographic: acceptance,
+        insert position, and the continuation test all compare pairs
+        (see the kernel docstring's tie-contract paragraph). The loop
+        carry (vmin, lane) is the lex-MIN of the remaining candidates
+        (min_arg128 tie-breaks on abs lane), so the single-pair
+        continuation test is exhaustive."""
 
         def nbody(c):
-            cv, vmin, idx, thr, _ = c
-            act = vmin < thr
-            gid = t * tb + jnp.sum(
-                jnp.where(lane_g == idx, ci, 0), axis=1, keepdims=True
-            )
-            cv = jnp.where(lane_g == idx, jnp.inf, cv)
+            cv, vmin, cls, lane, thr, tid, _ = c
+            gid = t * tb + lane
+            act = lex_beats(vmin, gid, thr, tid)
+            cv = jnp.where(lane_g == cls, jnp.inf, cv)
 
             buf_d, buf_i = out_d_ref[:, :], out_i_ref[:, :]
             if unsorted:
-                wpos = jnp.argmax(buf_d, axis=1).astype(jnp.int32)[:, None]
+                # Replace the lex-LARGEST (value, id) slot. Unfilled
+                # slots share (inf, -1), so select the first matching
+                # slot by position (argmax over the match mask).
+                bmax = jnp.max(buf_d, axis=1, keepdims=True)
+                wid = jnp.max(
+                    jnp.where(buf_d == bmax, buf_i, _MININT),
+                    axis=1, keepdims=True,
+                )
+                sel = ((buf_d == bmax) & (buf_i == wid)).astype(jnp.float32)
+                wpos = jnp.argmax(sel, axis=1).astype(jnp.int32)[:, None]
                 mask = (lane_cap == wpos) & act
                 new_d = jnp.where(mask, vmin, buf_d)
+                new_i = jnp.where(mask, gid, buf_i)
                 out_d_ref[:, :] = new_d
-                out_i_ref[:, :] = jnp.where(mask, gid, buf_i)
-                thr = jnp.minimum(
-                    jnp.max(new_d, axis=1, keepdims=True), t0_ref[:, :]
+                out_i_ref[:, :] = new_i
+                bmax2 = jnp.max(new_d, axis=1, keepdims=True)
+                wid2 = jnp.max(
+                    jnp.where(new_d == bmax2, new_i, _MININT),
+                    axis=1, keepdims=True,
                 )
+                thr = jnp.minimum(bmax2, t0_ref[:, :])
+                tid = jnp.where(bmax2 <= t0_ref[:, :], wid2, _MININT)
             else:
+                # Lexicographic insert position: #(buffer pairs lex-below
+                # the new pair). act bounds pos <= k-1 < cap (the new
+                # pair lex-beats the k-1 boundary pair).
                 pos = jnp.sum(
-                    (buf_d < vmin).astype(jnp.int32), axis=1, keepdims=True
+                    ((buf_d < vmin) | ((buf_d == vmin) & (buf_i < gid)))
+                    .astype(jnp.int32),
+                    axis=1, keepdims=True,
                 )
                 pos = jnp.where(act, pos, cap)
                 below = lane_cap < pos
@@ -329,44 +401,56 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
                     below, buf_d,
                     jnp.where(at, vmin, pltpu.roll(buf_d, 1, axis=1)),
                 )
-                out_d_ref[:, :] = new_d
-                out_i_ref[:, :] = jnp.where(
+                new_i = jnp.where(
                     below, buf_i,
                     jnp.where(at, gid, pltpu.roll(buf_i, 1, axis=1)),
                 )
-                thr = jnp.minimum(
-                    jax.lax.slice(new_d, (0, k - 1), (nqt, k)),
-                    t0_ref[:, :],
-                )
-            vmin2, idx2 = min_arg128(cv)
-            cont = jnp.sum((vmin2 < thr).astype(jnp.float32))
-            return cv, vmin2, idx2, thr, cont
+                out_d_ref[:, :] = new_d
+                out_i_ref[:, :] = new_i
+                kv = jax.lax.slice(new_d, (0, k - 1), (nqt, k))
+                ki = jax.lax.slice(new_i, (0, k - 1), (nqt, k))
+                thr = jnp.minimum(kv, t0_ref[:, :])
+                tid = jnp.where(kv <= t0_ref[:, :], ki, _MININT)
+            vmin2, cls2, lane2 = min_arg128(cv, ci)
+            cont = jnp.sum(
+                lex_beats(vmin2, t * tb + lane2, thr, tid)
+                .astype(jnp.float32)
+            )
+            return cv, vmin2, cls2, lane2, thr, tid, cont
 
-        vmin0, idx0 = min_arg128(cv)
-        cont0 = jnp.sum((vmin0 < thr).astype(jnp.float32))
-        out = jax.lax.while_loop(
-            lambda c: c[4] > 0.0, nbody, (cv, vmin0, idx0, thr, cont0)
+        vmin0, cls0, lane0 = min_arg128(cv, ci)
+        cont0 = jnp.sum(
+            lex_beats(vmin0, t * tb + lane0, thr, tid).astype(jnp.float32)
         )
-        return out[3]  # tightened threshold
+        out = jax.lax.while_loop(
+            lambda c: c[6] > 0.0, nbody,
+            (cv, vmin0, cls0, lane0, thr, tid, cont0),
+        )
+        return out[4], out[5]  # tightened (thr, tid)
 
-    def remaining(thr):
-        """Does any non-killed element still beat the threshold? ONE
-        full-width min pass — the pyramid only runs when this is true,
-        so a zero-hit tile costs the same single pass as the plain
-        kernel's."""
+    def remaining(thr, tid):
+        """Does any non-killed element still lex-beat the boundary? The
+        full-width lex-min (min value, then lowest lane at it) — two
+        passes instead of the plain kernel's one; the pyramid only runs
+        when this is true."""
         rmin = jnp.min(dist_ref[:, :], axis=1, keepdims=True)
-        return jnp.sum((rmin < thr).astype(jnp.float32))
+        rlane = jnp.min(
+            jnp.where(dist_ref[:, :] == rmin, lane_tb, tb),
+            axis=1, keepdims=True,
+        )
+        beat = lex_beats(rmin, t * tb + rlane, thr, tid)
+        return jnp.sum(beat.astype(jnp.float32))
 
     def obody(carry):
-        thr, _ = carry
+        thr, tid, _ = carry
         cv, ci = class_minima()
         kill(ci)
-        thr = narrow(cv, ci, thr)
-        return thr, remaining(thr)
+        thr, tid = narrow(cv, ci, thr, tid)
+        return thr, tid, remaining(thr, tid)
 
-    thr0 = kth()
+    thr0, tid0 = kth()
     jax.lax.while_loop(
-        lambda c: c[1] > 0.0, obody, (thr0, remaining(thr0))
+        lambda c: c[2] > 0.0, obody, (thr0, tid0, remaining(thr0, tid0))
     )
 
 
@@ -701,7 +785,9 @@ def fused_scan_topk(
             interpret=interpret,
         )(hi, Bt, extra[None, :], t0)
         exact = _rerank_ids(flat, Bt, extra, out_i, m, h)
-        sd, si = jax.lax.sort((exact, out_i), dimension=1, num_keys=1)
+        # num_keys=2: exact-distance ties order ascending by id, matching
+        # the sorted/grouped kernels' lexicographic output contract.
+        sd, si = jax.lax.sort((exact, out_i), dimension=1, num_keys=2)
         sd, si = sd[:, :k], si[:, :k]
         # --- Certificate. Every skipped element x satisfies
         # packed_key(hi(x)) >= t0k, so hi(x) >= key_to_float(t0k -
@@ -779,9 +865,11 @@ def fused_scan_topk(
         # One key-value sort over the cap-wide raw buffers for the WHOLE
         # query set (never per tile): restores the sorted-ascending output
         # contract at ~cap*log^2(cap) XLA sort cost amortized over the
-        # full scan. Sentinel rows (+inf, -1) sort to the tail and are
-        # sliced off with the padding.
-        out_d, out_i = jax.lax.sort((out_d, out_i), dimension=1, num_keys=1)
+        # full scan. num_keys=2 makes equal-distance ties ascend by id
+        # (the replace-worst buffer holds slots in arbitrary order) — the
+        # same lexicographic contract as every other route. Sentinel rows
+        # (+inf, -1) sort to the tail and are sliced off with the padding.
+        out_d, out_i = jax.lax.sort((out_d, out_i), dimension=1, num_keys=2)
     return out_d[:nq, :k], out_i[:nq, :k]
 
 

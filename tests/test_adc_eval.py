@@ -314,15 +314,28 @@ def test_select_kernel_grouped_variant_matches_sorted(rng):
     )
     np.testing.assert_allclose(np.asarray(dw), oracle, rtol=1e-4, atol=1e-4)
 
-    # Heavy exact ties: small-integer LUTs, zero extra term.
+    # Heavy exact ties: small-integer LUTs, zero extra term. Tie id-order
+    # is part of the contract: extraction is (value, id)-lexicographic
+    # (class_minima's lexicographic folds + min_arg128's abs-lane
+    # tie-break), so ids must match the sorted variant EXACTLY and both
+    # must match the lexicographic (dist, id) oracle — this is what keeps
+    # the Pallas route, the sharded-mesh route, and the native host
+    # scanner id-agreeing on tie-heavy (small-h) data.
     luts_t = jnp.asarray(
         rng.integers(0, 3, size=(nq, m, 8)).astype(np.float32)
     )
     full_t = np.asarray(luts_t)[:, np.arange(m)[:, None], B.T].sum(1)
     oracle_t = np.sort(full_t, axis=1)[:, :k]
+    ids_t = np.lexsort(
+        (np.broadcast_to(np.arange(n), full_t.shape), full_t), axis=1
+    )[:, :k]
     dt, it = fused_scan_topk(luts_t, jnp.asarray(B.T), jnp.zeros(n), k=k,
                              tb=512, interpret=True, variant="grouped")
+    ds, is_ = fused_scan_topk(luts_t, jnp.asarray(B.T), jnp.zeros(n), k=k,
+                              tb=512, interpret=True, variant="sorted")
     np.testing.assert_allclose(np.asarray(dt), oracle_t, rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(it), ids_t)
+    np.testing.assert_array_equal(np.asarray(is_), ids_t)
     np.testing.assert_allclose(
         np.take_along_axis(full_t, np.asarray(it), axis=1), np.asarray(dt),
         rtol=0, atol=0,

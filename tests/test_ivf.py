@@ -50,7 +50,9 @@ def test_full_probe_matches_exhaustive(pq_index, rng_module):
     Q = X[rng_module.integers(0, X.shape[0], 32)] + 0.01
     ex = idx.search(Q, k=25)
     iv = idx.search(Q, k=25, nprobe=idx.ivf.nlist)
-    np.testing.assert_array_equal(np.asarray(ex.dists), iv.dists)
+    # Cross-route f32 tolerance — see test_compact_preserves_partition.
+    np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
+                               rtol=1e-4, atol=1e-4)
     luts = idx._query_luts(Q)
     for q in range(Q.shape[0]):
         for j in range(25):
@@ -166,8 +168,13 @@ def test_compact_preserves_partition(rng_module):
     Q = X[rng_module.integers(0, 600, 16)]
     ex = idx.search(Q, k=10)
     iv = idx.search(Q, k=10, nprobe=idx.ivf.nlist)
+    # Cross-ROUTE comparison: without the native library the exhaustive
+    # side runs the XLA scan (whose jit context may fuse the LUT build
+    # into FMAs) while IVF runs the numpy scan — distances legitimately
+    # differ by f32 rounding (~2e-5 rel observed). With native built both
+    # sides share one scanner and match bitwise (test_full_probe_*).
     np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
-                               rtol=1e-6, atol=1e-5)
+                               rtol=1e-4, atol=1e-4)
     # The surviving tail rows (old tail_ids[0]/[2]; [1] was deleted, and
     # 2 grouped deletes precede the tail) must be found at their NEW ids.
     new_tail = [n_groups_kept, n_groups_kept + 1]
@@ -190,8 +197,9 @@ def test_additive_ivf_lsq_norms(rng_module):
     Q = X[rng_module.integers(0, X.shape[0], 12)]
     ex = idx.search(Q, k=15)
     iv = idx.search(Q, k=15, nprobe=4)
+    # Cross-route f32 tolerance — see test_compact_preserves_partition.
     np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
-                               rtol=1e-6, atol=1e-5)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_pads_never_returned(pq_index, rng_module):
@@ -245,9 +253,12 @@ def test_build_and_serve_with_ivf(tmp_path):
     finally:
         p.stdin.close()
         assert p.wait(timeout=60) == 0
-    # Full probe reproduces the exhaustive distances; partial is well-formed.
-    np.testing.assert_array_equal(np.asarray(r1["dists"]),
-                                  np.asarray(r2["dists"]))
+    # Full probe reproduces the exhaustive distances (cross-route f32
+    # tolerance without native — see test_compact_preserves_partition);
+    # partial is well-formed.
+    np.testing.assert_allclose(np.asarray(r1["dists"]),
+                               np.asarray(r2["dists"]),
+                               rtol=1e-4, atol=1e-4)
     assert np.shape(r3["ids"]) == (2, 3)
     for row in r3["dists"]:
         assert row == sorted(row)
