@@ -22,11 +22,15 @@ selection entirely:
   the rare under-capture is detected and falls back to an exact cold run);
 - the sorted buffer doubles as the kernel output: results come back
   already sorted ascending, ids exact. Output order is (dist, id)-
-  LEXICOGRAPHIC — equal distances ascend by id, and the ids surviving at
-  the k-th-value boundary are the lowest — across every variant, matching
-  the native host scanner (native/lsq_native.cpp), lax.top_k's stable tie
-  rule (the sharded-mesh merge and the scan fallbacks), and np.lexsort
-  oracles, so route-parity holds even on tie-heavy (small-h) data;
+  LEXICOGRAPHIC — equal distances ascend by id across every variant, and
+  on the sorted/grouped k <= 2048 routes the ids surviving at the
+  k-th-value boundary are also exactly the lowest — matching the native
+  host scanner (native/lsq_native.cpp), lax.top_k's stable tie rule (the
+  sharded-mesh merge and the scan fallbacks), and np.lexsort oracles, so
+  route-parity holds even on tie-heavy (small-h) data. The deep-k
+  grouped_unsorted flavor keeps a value-strict threshold (lex
+  replace-worst measured -29% qps at cap ~10k), so its boundary-tie
+  survival is arrival-biased — documented, like the tournament's;
 - variant="unsorted" replaces the insertion-sorted buffer with a
   replace-worst buffer (~2x fewer vector passes per insert) and defers
   sorting to ONE post-kernel XLA key-value sort over the raw [nq, cap]
@@ -235,14 +239,19 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
     globally (value, id)-sorted by construction, making its strict-<
     value threshold lexicographically exact for free — grouped extraction
     interleaves pyramid rounds, so a class's SECOND element at a tied
-    value can arrive after another class's higher id. The threshold is
-    therefore a lexicographic (value, id) PAIR everywhere it is compared
-    (accept, insert position, loop continuation, outer remaining-work
-    test): a candidate equal in value to the current k-th best still
-    enters if its id is lower. Both components only tighten, so the
-    unconditional-kill safety argument is unchanged, and the output is
-    the exact lexicographic (dist, id) top-k — identical to the plain
-    kernel and the native host scanner even under massive exact ties.
+    value can arrive after another class's higher id. In the sorted
+    flavor the threshold is therefore a lexicographic (value, id) PAIR
+    everywhere it is compared (accept, insert position, loop
+    continuation, outer remaining-work test): a candidate equal in value
+    to the current k-th best still enters if its id is lower. Both
+    components only tighten, so the unconditional-kill safety argument
+    is unchanged, and the output is the exact lexicographic (dist, id)
+    top-k — identical to the plain kernel and the native host scanner
+    even under massive exact ties. The unsorted flavor (the k > 2048
+    route) keeps the cheap value-strict threshold — the lex replace-worst
+    measured -29% qps at cap ~10k — so its boundary-tie survival is
+    arrival-biased like the tournament's (retained ties still return
+    id-ascending via the caller's num_keys=2 sort).
 
     Reference design point being replaced: the C++ scanner's serial
     heap/partial_sort over the scanned block
@@ -310,17 +319,23 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
         unfilled (inf) slots is harmless for the same reason (nothing
         compares equal to inf)."""
         if unsorted:
+            # Value-strict boundary (tid = _MININT disables the id leg of
+            # lex_beats): the lex replace-worst needs ~4 extra [nqt, cap]
+            # passes per insert, measured -29% qps at the k=10000 route's
+            # cap (1,096 -> 779 on the v5e) — not worth it for the deep-k
+            # flavor, whose boundary-tie survival is therefore
+            # arrival-biased (retained ties still come back id-ascending
+            # via the caller's num_keys=2 sort). The sorted flavor below
+            # is the k <= 2048 production route and stays exactly
+            # lexicographic.
             buf_kth = jnp.max(out_d_ref[:, :], axis=1, keepdims=True)
-            buf_ik = jnp.max(
-                jnp.where(out_d_ref[:, :] == buf_kth, out_i_ref[:, :],
-                          _MININT),
-                axis=1, keepdims=True,
-            )
+            thr = jnp.minimum(buf_kth, t0_ref[:, :])  # [nqt, 1]
+            tid = jnp.full((nqt, 1), _MININT, jnp.int32)
         else:
             buf_kth = jax.lax.slice(out_d_ref[:, :], (0, k - 1), (nqt, k))
             buf_ik = jax.lax.slice(out_i_ref[:, :], (0, k - 1), (nqt, k))
-        thr = jnp.minimum(buf_kth, t0_ref[:, :])  # [nqt, 1]
-        tid = jnp.where(buf_kth <= t0_ref[:, :], buf_ik, _MININT)
+            thr = jnp.minimum(buf_kth, t0_ref[:, :])  # [nqt, 1]
+            tid = jnp.where(buf_kth <= t0_ref[:, :], buf_ik, _MININT)
         return thr, tid
 
     def lex_beats(v, i, thr, tid):
@@ -363,28 +378,18 @@ def _select_kernel_grouped(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
 
             buf_d, buf_i = out_d_ref[:, :], out_i_ref[:, :]
             if unsorted:
-                # Replace the lex-LARGEST (value, id) slot. Unfilled
-                # slots share (inf, -1), so select the first matching
-                # slot by position (argmax over the match mask).
-                bmax = jnp.max(buf_d, axis=1, keepdims=True)
-                wid = jnp.max(
-                    jnp.where(buf_d == bmax, buf_i, _MININT),
-                    axis=1, keepdims=True,
-                )
-                sel = ((buf_d == bmax) & (buf_i == wid)).astype(jnp.float32)
-                wpos = jnp.argmax(sel, axis=1).astype(jnp.int32)[:, None]
+                # Replace-worst with a value-strict threshold (tid stays
+                # _MININT — see kth() for the measured reason): overwrite
+                # the current max slot (argmax of an all-inf initial
+                # buffer walks the slots left to right).
+                wpos = jnp.argmax(buf_d, axis=1).astype(jnp.int32)[:, None]
                 mask = (lane_cap == wpos) & act
                 new_d = jnp.where(mask, vmin, buf_d)
-                new_i = jnp.where(mask, gid, buf_i)
                 out_d_ref[:, :] = new_d
-                out_i_ref[:, :] = new_i
-                bmax2 = jnp.max(new_d, axis=1, keepdims=True)
-                wid2 = jnp.max(
-                    jnp.where(new_d == bmax2, new_i, _MININT),
-                    axis=1, keepdims=True,
+                out_i_ref[:, :] = jnp.where(mask, gid, buf_i)
+                thr = jnp.minimum(
+                    jnp.max(new_d, axis=1, keepdims=True), t0_ref[:, :]
                 )
-                thr = jnp.minimum(bmax2, t0_ref[:, :])
-                tid = jnp.where(bmax2 <= t0_ref[:, :], wid2, _MININT)
             else:
                 # Lexicographic insert position: #(buffer pairs lex-below
                 # the new pair). act bounds pos <= k-1 < cap (the new

@@ -238,3 +238,47 @@ def test_sharded_pq_query_matches_single(rng, mesh):
     multi = sharded_linscan_pq(mesh, np.asarray(model.B), Q, model.C_sub, k,
                                query_chunk=16, block=64)
     np.testing.assert_allclose(multi.dists, single.dists, rtol=1e-4, atol=1e-4)
+
+
+def test_tie_heavy_route_parity_exact_ids(rng, mesh):
+    """The lexicographic (dist, id) tie contract, pinned ROUTE-FOR-ROUTE:
+    on tie-heavy codes (h=4, m=2 -> 16 distinct codes over n=4096, so the
+    top-k is a few ~256-way exact-tie blocks straddling the k boundary)
+    the single-chip kernel route (interpret), the single-chip streaming
+    merge, the sharded-mesh route, and the native host scanner (when
+    built) must all return EXACTLY the np.lexsort oracle's ids — this is
+    what keeps results reproducible bit-for-bit across serving routes
+    (MIGRATION.md "Querying"; the reference's partial_sort leaves tie
+    order unspecified, linscan_aqd.cpp:91)."""
+    n, nq, d, m, h, k = 4096, 5, 8, 2, 4, 50
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+
+    luts = np.asarray(adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C)))
+    full = luts[:, np.arange(m)[:, None], B.T].sum(1) + dbn[None, :]
+    oracle_ids = np.lexsort(
+        (np.broadcast_to(np.arange(n), full.shape), full), axis=1
+    )[:, :k]
+
+    routes = {
+        "kernel": adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k,
+                                  query_chunk=8, topk_method="kernel"),
+        "merge": adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k,
+                                 query_chunk=8, base_block=512,
+                                 topk_method="exact"),
+        "mesh": sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k,
+                                    query_chunk=8, block=256),
+    }
+    from local_search_quantization_tpu.utils import native
+
+    if native.available():
+        routes["native"] = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k,
+                                           topk_method="native")
+    for name, res in routes.items():
+        np.testing.assert_array_equal(
+            np.asarray(res.ids), oracle_ids,
+            err_msg=f"route '{name}' diverged from the lexicographic oracle",
+        )
