@@ -59,7 +59,9 @@ def main():
     # small blocks bound them); default keeps the historical pair.
     env_nqts = os.environ.get("LSQ_TPU_SELECT_NQTS", "")
     if env_nqts:
-        nqts = [int(x) for x in env_nqts.split(",")]
+        # 0 = the auto block size (_pick_nqt), e.g. LSQ_TPU_SELECT_NQTS=0
+        # to probe only the default geometry at large nq.
+        nqts = [int(x) or None for x in env_nqts.split(",")]
     else:
         nqts = [None] if nq <= 1024 else [None, nq]  # None = _pick_nqt
     warm_only = os.environ.get("LSQ_TPU_SELECT_WARM_ONLY", "") == "1"
