@@ -602,9 +602,14 @@ def select_geometry(k: int, n: int | None = None):
       width: tb 4096 -> 8192 moved k=1000 from 7,643 to 8,426.
     - k > 2048: variant="grouped_unsorted" (replace-worst buffer + one
       post-kernel XLA sort; sorted inserts are O(cap) at this depth) at
-      tb=4096, nqt=256: 1,096 qps at k=10000 vs the plain unsorted
-      1,028. tb=8192 regressed this route (1,019 — the [nqt, cap]
-      output windows dominate VMEM at cap~10k, forcing tiny blocks).
+      tb=8192, nqt=256: 1,183 qps at k=10000 (two runs: 1,181/1,183) vs
+      tb=4096's 1,065-1,076 and the plain unsorted 1,028. The earlier
+      "tb=8192 regresses" note (1,019) was measured at nqt=128 — at the
+      VMEM-maximal nqt=256 the bigger tile wins here too. nqt=384 loses
+      at tb=4096 (1,104) and OOMs VMEM at tb=8192 (135.4M/128M, mostly
+      register spill slots); variant="key" (append + exact re-rank) at
+      this depth measures 368-374 qps — the [nq, ~15k]-candidate re-rank
+      gather is the wall, closing that design door with a number.
 
     n (optional) caps tb at the padded problem size so interpret-mode
     tests over tiny bases don't pay 8192-wide padding.
@@ -615,7 +620,7 @@ def select_geometry(k: int, n: int | None = None):
     import os as _os
 
     if k > 2048:
-        variant, tb, nqt = "grouped_unsorted", 4096, 256
+        variant, tb, nqt = "grouped_unsorted", 8192, 256
     else:
         variant, tb, nqt = "grouped", 8192, None
     if n is not None:

@@ -545,8 +545,8 @@ def test_select_geometry_defaults(monkeypatch):
         monkeypatch.delenv(var, raising=False)
     assert select_geometry(1000) == ("grouped", 8192, None)
     assert select_geometry(2048) == ("grouped", 8192, None)
-    assert select_geometry(2049) == ("grouped_unsorted", 4096, 256)
-    assert select_geometry(10000) == ("grouped_unsorted", 4096, 256)
+    assert select_geometry(2049) == ("grouped_unsorted", 8192, 256)
+    assert select_geometry(10000) == ("grouped_unsorted", 8192, 256)
     # Tiny bases cap tb (interpret-mode tests should not pad 100 rows to
     # 8192) but never below the 128-lane minimum, and keep power-of-two.
     assert select_geometry(10, n=100) == ("grouped", 256, None)
