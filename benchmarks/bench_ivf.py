@@ -2,9 +2,11 @@
 """IVF-ADC serving bench at SIFT1M scale: qps + recall vs nprobe.
 
 Runs the native IVF scanner (lsq_linscan_ivf, AVX-512 VBMI chunks) on the
-corpus-v4 synthetic SIFT (the paper-repro corpus, .corpus_v4_paper.npz)
-with 64-bit PQ codes, against the exhaustive native scanner as both the
-qps baseline and the ADC recall ceiling. Everything is host/CPU — the
+paper-repro synthetic SIFT corpus (corpus v5; regenerate with
+utils.synth.synthetic_dataset(0, d=128, n_train=1e5, n_base=1e6,
+n_query=1e4) and np.savez to --corpus) with 64-bit PQ codes, against the
+exhaustive native scanner as both the qps baseline and the ADC recall
+ceiling. Everything is host/CPU — the
 point of this layer is serving without a TPU (the reference's linscan
 analog is also host C++, Linscan.jl:5 -> linscan_aqd.cpp).
 
@@ -24,7 +26,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--corpus", default=".corpus_v4_paper.npz")
+    ap.add_argument("--corpus", default=".corpus_v5_paper.npz")
     ap.add_argument("--cache", default="/tmp/ivf_bench_cache")
     ap.add_argument("--nq", type=int, default=1000)
     ap.add_argument("--nlist", type=int, default=1024)
