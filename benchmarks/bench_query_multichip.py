@@ -14,6 +14,11 @@ import os
 import sys
 import time
 
+try:  # repo-root sys.path shim for plain-file runs; see _bootstrap.py
+    import _bootstrap  # noqa: F401
+except ImportError:  # python -m benchmarks.X: root already on path
+    pass
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -27,6 +27,11 @@ import time
 
 import numpy as np
 
+try:  # repo-root sys.path shim for plain-file runs; see _bootstrap.py
+    import _bootstrap  # noqa: F401
+except ImportError:  # python -m benchmarks.X: root already on path
+    pass
+
 
 def encode64m(n_total=64 * 1024 * 1024, chunk=131072, ilsiter=16,
               icmiter=4, npert=4, m=7, h=256, d=128):

@@ -16,6 +16,11 @@ import time
 
 import numpy as np
 
+try:  # repo-root sys.path shim for plain-file runs; see _bootstrap.py
+    import _bootstrap  # noqa: F401
+except ImportError:  # python -m benchmarks.X: root already on path
+    pass
+
 
 def main():
     import jax

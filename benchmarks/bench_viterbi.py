@@ -13,6 +13,11 @@ import time
 
 import numpy as np
 
+try:  # repo-root sys.path shim for plain-file runs; see _bootstrap.py
+    import _bootstrap  # noqa: F401
+except ImportError:  # python -m benchmarks.X: root already on path
+    pass
+
 N_LO, N_HI = 1 << 15, 1 << 17
 TRIALS = 3
 

@@ -420,7 +420,7 @@ def _run_scan(
             # k > 2048 the kernel branch switches to grouped_unsorted
             # (two-level extraction + replace-worst buffer + one
             # post-kernel XLA sort) with a small query block: measured
-            # 1,096 qps warm at k=10000 over 1M (nqt=256, tb=4096, v5e)
+            # 1,183 qps warm at k=10000 over 1M (nqt=256, tb=8192, v5e)
             # vs 167 for the group-minima tournament whose two
             # lax.top_k(k=10000) calls dominate it.
             # The 10240 bound is the verified VMEM envelope: the kernel's
@@ -483,7 +483,7 @@ def _run_scan(
         interp = jax.default_backend() != "tpu"
         # Measured-optimal geometry, centralized with the sharded route
         # (select_pallas.select_geometry: grouped/tb=8192 at k<=2048,
-        # grouped_unsorted/tb=4096/nqt=256 beyond; env-overridable).
+        # grouped_unsorted/tb=8192/nqt=256 beyond; env-overridable).
         from local_search_quantization_tpu.ops.select_pallas import (
             select_geometry,
         )

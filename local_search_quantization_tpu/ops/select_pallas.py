@@ -627,7 +627,19 @@ def select_geometry(k: int, n: int | None = None):
         while tb > 256 and tb // 2 >= n:
             tb //= 2
     variant = _os.environ.get("LSQ_TPU_SELECT_VARIANT", variant)
-    tb = int(_os.environ.get("LSQ_TPU_SELECT_TB", "0")) or tb
+    env_tb = int(_os.environ.get("LSQ_TPU_SELECT_TB", "0"))
+    if env_tb:
+        # Fail here with the remedy, not in the kernel's assert: the
+        # grouped fold pyramid needs a power-of-two tile, and since
+        # grouped became the DEFAULT variant, a pre-existing sweep that
+        # only sets TB would otherwise crash deep in fused_scan_topk.
+        if env_tb & (env_tb - 1) and variant.startswith("grouped"):
+            raise ValueError(
+                f"LSQ_TPU_SELECT_TB={env_tb} is not a power of two, "
+                f"which the '{variant}' variant's fold pyramid "
+                "requires — use a power-of-two tb or also set "
+                "LSQ_TPU_SELECT_VARIANT=sorted/unsorted")
+        tb = env_tb
     env_nqt = int(_os.environ.get("LSQ_TPU_SELECT_NQT", "0"))
     if env_nqt:
         nqt = env_nqt

@@ -149,9 +149,17 @@ def synthetic_dataset(
     # which is exactly what made the v1 corpus recall-dead), clipped
     # nonneg and rescaled to concentrated SIFT-like norms (~320, ~18%
     # spread).
+    # Two distinct norm calibrations, deliberately NOT derived from each
+    # other: cluster-CENTER norms target ~320 (real SIFT's center-norm
+    # band) while SAMPLE norms concentrate at ~480 in concentrate()
+    # below (real SIFT's sample-norm band ~ sqrt(center^2 + offset
+    # power) at the v4/v5 spread). Recalibrating either moment changes
+    # the corpus: bump the version and re-pin the golden recall gates
+    # (tests/test_golden_recall.py) together.
+    center_norm, sample_norm = 320.0, 480.0
     rc = int(min(d, 16))  # center-manifold rank
     mu = rng.gamma(2.0, 1.0, size=(d,)) * env
-    mu *= 320.0 / np.linalg.norm(mu)
+    mu *= center_norm / np.linalg.norm(mu)
     Wc = rng.normal(size=(rc, d)) * env[None, :]
     Wc /= np.maximum(np.linalg.norm(Wc, axis=1, keepdims=True), 1e-9)
     lamc = (np.arange(1, rc + 1, dtype=np.float64)) ** -0.7
@@ -168,7 +176,7 @@ def synthetic_dataset(
     # LSQ pays the norm byte): at sigma 0.18 the sqnorm tail error was
     # comparable to NN margins and erased LSQ's r@1 edge, which real
     # SIFT1M results (with the same 1-byte norms) do not show.
-    target = np.exp(rng.normal(np.log(320.0), 0.10, size=(K, 1)))
+    target = np.exp(rng.normal(np.log(center_norm), 0.10, size=(K, 1)))
     centers = centers / np.maximum(cn, 1e-9) * target
 
     # --- Shared direction bank with per-cluster power-law weights:
@@ -246,7 +254,8 @@ def synthetic_dataset(
         if norm_sigma is None:
             return x
         nrm = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-9)
-        tgt = 480.0 * np.exp(rng.normal(0.0, norm_sigma, size=(x.shape[0], 1)))
+        tgt = sample_norm * np.exp(
+            rng.normal(0.0, norm_sigma, size=(x.shape[0], 1)))
         return x * (tgt / nrm)
 
     def draw(n, rng=rng):

@@ -8,6 +8,10 @@ The reference's demos are runnable as plain scripts from anywhere
 module is the Python equivalent: importing it inserts the repo root
 ahead of the script directory. Works from any cwd because it locates
 itself, not the process.
+Deliberately byte-similar to the sibling _bootstrap.py copies in
+scripts/, demos/, and benchmarks/: the copies cannot share a module
+(importing the shared copy would itself need the path fix they exist
+to provide), so any fix here must be applied to all of them.
 """
 
 from __future__ import annotations

@@ -196,10 +196,26 @@ def main():
         if os.path.exists(man_path):
             with open(man_path) as f:
                 old = json.load(f)
+            # Legacy manifests (pre sr-tagged stage names) carried
+            # sr/sr_scale and wrote the SR-trained model as plain
+            # "lsq.npz" — those artifacts are ambiguous under the new
+            # naming, so only sr=none legacy dirs migrate; SR-trained
+            # ones must start fresh rather than be silently misread.
+            legacy = {k: old.pop(k) for k in ("sr", "sr_scale")
+                      if k in old}
+            if legacy.get("sr", "none") != "none":
+                raise SystemExit(
+                    f"[repro] {man_path} is a legacy SR stage cache "
+                    f"(sr={legacy['sr']}): its lsq.npz predates the "
+                    "sr-tagged stage naming and cannot be told apart "
+                    "from a plain-LSQ stage — use a fresh dir")
             if old != manifest:
                 raise SystemExit(
                     f"[repro] stage-cache config mismatch in {man_path}: "
                     f"cached {old}, requested {manifest} — use a fresh dir")
+            if legacy:  # sr=none legacy dir: rewrite in the new format
+                with open(man_path, "w") as f:
+                    json.dump(manifest, f)
         else:
             with open(man_path, "w") as f:
                 json.dump(manifest, f)
