@@ -62,12 +62,21 @@ def topk_lex(d: np.ndarray, ids: np.ndarray, k: int):
         # argpartition alone resolves a tie block straddling the k
         # boundary ARBITRARILY (introselect order — found returning the
         # wrong tie-mates on small-h codes where the top-k is one giant
-        # equal-code block). Widen the candidate set to every element <=
-        # the boundary value so the lexsort sees all tie-mates; typical
-        # cost stays O(n + (k + T) log (k + T)) for a tie block of T.
+        # equal-code block). All boundary tie-mates share one distance,
+        # so the lex order among them is id order: keep every element
+        # strictly below the boundary value plus the `need` LOWEST ids
+        # within the tie block (argpartition on ids). The final lexsort
+        # then sees exactly kq candidates — cost is O(n + k log k) even
+        # when the tie block is the whole array (the worst case that
+        # motivated the fix would otherwise lexsort all n rows).
         dk = d[keep]
         thr = dk[np.argpartition(dk, kq - 1)[:kq]].max()
-        cand = keep[dk <= thr]
+        below = keep[dk < thr]
+        tie = keep[dk == thr]
+        need = kq - below.size  # >= 1: the boundary value is in the top-kq
+        if need < tie.size:
+            tie = tie[np.argpartition(ids[tie], need - 1)[:need]]
+        cand = np.concatenate([below, tie])
         o2 = np.lexsort((ids[cand], d[cand]))[:kq]
         out_d[:kq] = d[cand][o2]
         out_i[:kq] = ids[cand][o2]

@@ -56,6 +56,33 @@ from typing import NamedTuple
 import numpy as np
 
 
+# Bump together with any calibration change (and re-pin the golden recall
+# gates in tests/test_golden_recall.py + the fingerprint in
+# tests/test_synth_corpus.py): committed quality artifacts are only
+# comparable within one corpus version.
+CORPUS_VERSION = 5
+
+
+def corpus_fingerprint() -> str:
+    """Short sha256 of a tiny deterministic corpus draw.
+
+    Guards silent corpus drift: any change to the generator's constants or
+    sampling structure changes this value, so committed quality artifacts
+    (stamped by scripts/repro_paper.py) can be checked against the CURRENT
+    generator instead of trusting filenames. Values are rounded to 1e-3
+    before hashing so BLAS-level rounding differences in the center
+    matmuls don't flip the hash within a platform generation.
+    """
+    import hashlib
+
+    dd = synthetic_dataset(0, d=128, n_train=64, n_base=512, n_query=8)
+    h = hashlib.sha256()
+    for a in (dd.train, dd.base, dd.query):
+        h.update(np.round(np.asarray(a, np.float64), 3).tobytes())
+    h.update(np.asarray(dd.gt, np.int64).tobytes())
+    return f"v{CORPUS_VERSION}-{h.hexdigest()[:16]}"
+
+
 def random_codes(rng, n: int, m: int, h: int) -> np.ndarray:
     """Uniform random codes, [n, m] int32, 0-based."""
     if isinstance(rng, (int, np.integer)):

@@ -50,9 +50,23 @@ def test_full_probe_matches_exhaustive(pq_index, rng_module):
     Q = X[rng_module.integers(0, X.shape[0], 32)] + 0.01
     ex = idx.search(Q, k=25)
     iv = idx.search(Q, k=25, nprobe=idx.ivf.nlist)
-    # Cross-route f32 tolerance — see test_compact_preserves_partition.
-    np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
-                               rtol=1e-4, atol=1e-4)
+    if native.available():
+        # Both routes run the same native per-row arithmetic (adc_block's
+        # sequential LUT sum), so the value top-k matches BITWISE. Ids are
+        # only compared where the row's distance is untied: the native IVF
+        # TopK resolves exact ties by probe/scan order, the exhaustive
+        # scanner lexicographically (see test_numpy_and_native_paths_agree).
+        np.testing.assert_array_equal(np.asarray(ex.dists), iv.dists)
+        d = np.asarray(ex.dists)
+        untied = (d != np.roll(d, 1, axis=1)) & (d != np.roll(d, -1, axis=1))
+        untied[:, 0] = d[:, 0] != d[:, 1]
+        untied[:, -1] = d[:, -1] != d[:, -2]
+        np.testing.assert_array_equal(
+            np.asarray(ex.ids)[untied], np.asarray(iv.ids)[untied])
+    else:
+        # Cross-route f32 tolerance — see test_compact_preserves_partition.
+        np.testing.assert_allclose(np.asarray(ex.dists), iv.dists,
+                                   rtol=1e-4, atol=1e-4)
     luts = idx._query_luts(Q)
     for q in range(Q.shape[0]):
         for j in range(25):

@@ -109,3 +109,36 @@ def test_deterministic_given_seed():
     np.testing.assert_array_equal(a.base, b.base)
     np.testing.assert_array_equal(a.query, b.query)
     np.testing.assert_array_equal(a.gt, b.gt)
+
+
+def test_corpus_fingerprint_matches_committed_artifacts():
+    """Silent-corpus-drift guard (VERDICT r3 hygiene): the committed
+    quality artifacts carry the fingerprint of the generator that produced
+    their corpus; the CURRENT generator must still produce that corpus.
+    A calibration change must bump CORPUS_VERSION, re-pin the golden
+    gates, and regenerate the artifacts — this test is what makes
+    forgetting that loud."""
+    import json
+    import os
+
+    from local_search_quantization_tpu.utils.synth import (
+        CORPUS_VERSION,
+        corpus_fingerprint,
+    )
+
+    assert CORPUS_VERSION == 5
+    fp = corpus_fingerprint()
+    assert fp == "v5-c46d0184714f7c20"
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for name in ("recall_table_paperscale.json",
+                 "recall_table_midscale_v5.json",
+                 "recall_table_src.json", "recall_table_srd.json"):
+        p = os.path.join(root, name)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            t = json.load(f)
+        assert t.get("corpus_fingerprint") == fp, (
+            f"{name} was generated on corpus {t.get('corpus_fingerprint')} "
+            f"but the current generator produces {fp} — regenerate the "
+            "artifact or bump CORPUS_VERSION with re-pinned gates")
