@@ -133,7 +133,8 @@ class Index:
     def build(cls, x_train, x_base, method: str = "lsq", *,
               m: int | None = None, h: int = 256, niter: int = 10,
               ilsiter: int = 16, seed: int = 0, verbose: bool = False,
-              refine: str | None = None,
+              refine: str | None = None, sr: str = "none",
+              sr_scale: float = 1.0,
               meta: dict | None = None) -> "Index":
         """Train a quantizer on x_train and encode x_base.
 
@@ -143,6 +144,15 @@ class Index:
 
         refine: "sq8" / "f32" also keeps a (scalar-quantized) copy of
         x_base for the exact re-ranking stage (search(refine=r)).
+
+        sr: LSQ stochastic relaxation ("none" / "SR-D" / "SR-C"; LSQ++,
+        arXiv:1806.05643 — beyond the reference). "SR-C" is the measured
+        production-quality recommendation (BASELINE.md: paper-scale r@10
+        0.8347 vs plain 0.8261, past OPQ at r@1); the default stays
+        "none" for reference parity. lsq-only: training-time only (the
+        frozen model serves identically), but other methods don't have
+        the knob, so passing it with them is an error rather than a
+        silent no-op.
         """
         import jax
 
@@ -161,6 +171,12 @@ class Index:
             # Fail BEFORE the (potentially hours-long) train+encode.
             raise ValueError(
                 f"refine must be None, 'sq8' or 'f32', got {refine!r}")
+        if sr not in ("none", "SR-D", "SR-C"):
+            raise ValueError(f"sr must be none/SR-D/SR-C, got {sr!r}")
+        if sr != "none" and method != "lsq":
+            raise ValueError(
+                f"sr={sr!r} is an LSQ training knob (LSQConfig.sr_method); "
+                f"method={method!r} has no stochastic-relaxation stage")
         additive = method in ("chainq", "lsq", "rvq")
         if m is None:
             m = 7 if additive else 8
@@ -206,7 +222,8 @@ class Index:
             chain = train_chainq(x_train, opq.B, opq.R,
                                  ChainQConfig(m=m, h=h, niter=niter))
             cfg = LSQConfig(m=m, h=h, niter=niter, seed=seed,
-                            npert=min(4, m))
+                            npert=min(4, m), sr_method=sr,
+                            sr_scale=sr_scale)
             model = train_lsq(x_train, chain.B, chain.R, cfg,
                               verbose=verbose)
             B0 = random_codes(seed, x_base.shape[0], m, h)
@@ -224,6 +241,12 @@ class Index:
             "niter": niter, "seed": seed,
             "ilsiter": ilsiter if method == "lsq" else None,
         }
+        if sr != "none":
+            # Training provenance: which SR mode produced this model
+            # (serving is unaffected, but quality claims need the stamp).
+            full_meta["sr"] = sr
+            if sr_scale != 1.0:
+                full_meta["sr_scale"] = sr_scale
         full_meta.update(meta or {})
         idx = cls(method, model, B, bnorm=bnorm, meta=full_meta)
         if refine:

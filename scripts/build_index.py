@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--niter", type=int, default=10)
     ap.add_argument("--ilsiter", type=int, default=16,
                     help="ILS rounds for the lsq base encode")
+    ap.add_argument("--sr", default="none", choices=["none", "SR-D", "SR-C"],
+                    help="LSQ stochastic relaxation (LSQ++, beyond the "
+                         "reference); SR-C is the measured production-"
+                         "quality recommendation (BASELINE.md)")
+    ap.add_argument("--sr-scale", type=float, default=1.0,
+                    help="multiplier on the SR noise std")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--synth-d", type=int, default=128)
     ap.add_argument("--ivf-nlist", type=int, default=None,
@@ -80,7 +86,8 @@ def main():
     idx = Index.build(
         x_train, x_base, args.method, m=args.m, h=args.h, niter=args.niter,
         ilsiter=args.ilsiter, seed=args.seed, verbose=True,
-        refine=args.refine, meta={"dataset": dataset},
+        refine=args.refine, sr=args.sr, sr_scale=args.sr_scale,
+        meta={"dataset": dataset},
     )
     if args.ivf_nlist:
         idx.build_ivf(args.ivf_nlist, seed=args.seed)

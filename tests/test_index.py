@@ -97,3 +97,28 @@ def test_index_lifecycle(tmp_path, data, method, rng):
                                   ids[:10])
     np.testing.assert_allclose(np.asarray(r6.dists)[0],
                                np.asarray(r5.dists)[0, :10], rtol=1e-5)
+
+
+def test_index_build_sr_production_path(tmp_path, data):
+    """The recommended production config (sr='SR-C', BASELINE.md) must be
+    reachable through Index.build / build_index.py, stamped in meta, and
+    serve identically in kind to a plain LSQ index (VERDICT r3 item 2)."""
+    idx = Index.build(data.train, data.base[:300], "lsq", m=2, h=16,
+                      niter=2, ilsiter=2, seed=0, sr="SR-C")
+    assert idx.meta["sr"] == "SR-C"
+    res = idx.search(data.query, k=10)
+    assert res.ids.shape == (8, 10)
+    assert np.all(np.asarray(res.ids) >= 0)
+    path = str(tmp_path / "idx_sr")
+    idx.save(path)
+    idx2 = Index.load(path)
+    assert idx2.meta["sr"] == "SR-C"  # provenance survives the round-trip
+    r2 = idx2.search(data.query, k=10)
+    np.testing.assert_allclose(np.asarray(res.dists), np.asarray(r2.dists),
+                               rtol=1e-5)
+    # The knob is training-time-only and LSQ-only: other methods must
+    # refuse it loudly rather than silently ignore it.
+    with pytest.raises(ValueError, match="LSQ training knob"):
+        Index.build(data.train, data.base[:50], "pq", m=2, h=16, sr="SR-C")
+    with pytest.raises(ValueError, match="sr must be"):
+        Index.build(data.train, data.base[:50], "lsq", m=2, h=16, sr="src")
