@@ -488,9 +488,27 @@ def _run_scan(
             select_geometry,
         )
 
-        variant, tb, nqt = select_geometry(k, n=Bj.shape[1])
+        # mh uses the 128-lane-padded h (fused_scan_topk pads internally):
+        # the geometry must see the width the kernel actually allocates.
+        mh = luts.shape[1] * (-(-luts.shape[2] // 128) * 128)
+        variant, tb, nqt = select_geometry(k, n=Bj.shape[1], mh=mh)
+        # Deep-k boundary-tie certificate (two-phase lex contract): the
+        # replace-worst flavors keep a VALUE-strict threshold, so which
+        # ids survive a tie block straddling the k-th value is
+        # arrival-biased (an in-loop lex threshold measured -29% qps,
+        # BASELINE.md). But every SKIPPED element has dist >= the
+        # buffer's final max >= d[k] (the threshold only tightens toward
+        # it), so requesting ONE extra column and observing
+        # d[k-1] < d[k] proves no boundary tie-mate was ever skipped and
+        # the sliced output is the exact lexicographic top-k. Queries
+        # failing the check (measure-zero on continuous f32 distances;
+        # real on tie-heavy small-h codes) rerun through the grouped
+        # SORTED kernel, whose in-loop lex pair threshold is exact at
+        # the boundary by construction.
+        widen = variant in ("unsorted", "grouped_unsorted") and k < n
+        k_req = k + 1 if widen else k
         d, i, bad = scan_topk_warm(
-            luts, Bj, extra_arr, k=k, tb=tb, nqt=nqt, interpret=interp,
+            luts, Bj, extra_arr, k=k_req, tb=tb, nqt=nqt, interpret=interp,
             deferred=True, variant=variant,
         )
         d_np, i_np = np.asarray(d), np.asarray(i)
@@ -505,10 +523,28 @@ def _run_scan(
             )
 
             fb_variant = "sorted" if variant == "key" else variant
-            d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k, tb=tb,
+            d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k_req, tb=tb,
                                      nqt=nqt, interpret=interp,
                                      variant=fb_variant)
             d_np, i_np = np.asarray(d2), np.asarray(i2)
+        if widen:
+            # +inf == +inf is not a tie to widen: those rows are sentinel
+            # padding (fewer than k finite candidates), already exact.
+            tied = (d_np[:, k - 1] == d_np[:, k]) & np.isfinite(
+                d_np[:, k - 1])
+            # np.asarray of a device array is read-only; the widen writes.
+            d_np, i_np = d_np[:, :k].copy(), i_np[:, :k].copy()
+            if tied.any():
+                from local_search_quantization_tpu.ops.select_pallas import (
+                    fused_scan_topk,
+                )
+
+                tq = np.flatnonzero(tied)
+                d2, i2 = fused_scan_topk(
+                    jnp.asarray(np.asarray(luts)[tq]), Bj, extra_arr, k=k,
+                    tb=tb, nqt=None, interpret=interp, variant="grouped",
+                )
+                d_np[tq], i_np[tq] = np.asarray(d2), np.asarray(i2)
         return KNNResult(d_np, i_np)
 
     # Dispatch ALL chunks asynchronously (JAX queues them back-to-back on

@@ -585,7 +585,7 @@ def _rerank_ids(luts_flat: Array, Bt: Array, extra: Array, ids: Array,
     return jnp.where(ids < 0, jnp.inf, exact)
 
 
-def select_geometry(k: int, n: int | None = None):
+def select_geometry(k: int, n: int | None = None, mh: int | None = None):
     """Measured-optimal (variant, tb, nqt) for the fused select kernel.
 
     The single source of truth for the default kernel geometry, shared by
@@ -614,6 +614,15 @@ def select_geometry(k: int, n: int | None = None):
     n (optional) caps tb at the padded problem size so interpret-mode
     tests over tiny bases don't pay 8192-wide padding.
 
+    mh (optional) is the flat LUT width m*h (h after 128-lane padding):
+    the kernel's tile-side VMEM scales with tb*mh (the [m*h, tb] bf16
+    one-hot + matmul buffers, modeled as tb*mh*4 bytes in
+    fused_scan_topk's guard), and the tb=8192 default was tuned at
+    m*h=1792 (58.7 MB). The 128-bit code widths (m*h=3840/4096) exceed
+    the whole 118 MB budget at tb=8192 before any query block fits, so
+    tb halves until the tile model fits 70 MB — giving tb=4096 at
+    m*h=3840/4096 while leaving every m*h <= 2048 geometry untouched.
+
     Env overrides (tuning sweeps): LSQ_TPU_SELECT_VARIANT,
     LSQ_TPU_SELECT_TB, LSQ_TPU_SELECT_NQT.
     """
@@ -623,6 +632,9 @@ def select_geometry(k: int, n: int | None = None):
         variant, tb, nqt = "grouped_unsorted", 8192, 256
     else:
         variant, tb, nqt = "grouped", 8192, None
+    if mh is not None:
+        while tb > 1024 and tb * mh * 4 > 70 * 2**20:
+            tb //= 2
     if n is not None:
         while tb > 256 and tb // 2 >= n:
             tb //= 2
@@ -633,11 +645,13 @@ def select_geometry(k: int, n: int | None = None):
         # grouped fold pyramid needs a power-of-two tile, and since
         # grouped became the DEFAULT variant, a pre-existing sweep that
         # only sets TB would otherwise crash deep in fused_scan_topk.
-        if env_tb & (env_tb - 1) and variant.startswith("grouped"):
+        if (env_tb & (env_tb - 1) or env_tb < 128) \
+                and variant.startswith("grouped"):
             raise ValueError(
-                f"LSQ_TPU_SELECT_TB={env_tb} is not a power of two, "
+                f"LSQ_TPU_SELECT_TB={env_tb} is not a power of two >= 128, "
                 f"which the '{variant}' variant's fold pyramid "
-                "requires — use a power-of-two tb or also set "
+                "requires (class minima are 128-lane blocks) — use a "
+                "power-of-two tb >= 128 or also set "
                 "LSQ_TPU_SELECT_VARIANT=sorted/unsorted")
         tb = env_tb
     env_nqt = int(_os.environ.get("LSQ_TPU_SELECT_NQT", "0"))

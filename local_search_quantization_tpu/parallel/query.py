@@ -79,7 +79,8 @@ def sharded_scan_topk(
             # via the shared select_geometry (grouped fold-pyramid
             # extraction; BASELINE.md "grouped variant" sweep). One
             # geometry across both paths = one compiled kernel shape.
-            variant, tb, nqt = select_geometry(kk, n=n_loc)
+            mh = luts.shape[1] * (-(-luts.shape[2] // 128) * 128)
+            variant, tb, nqt = select_geometry(kk, n=n_loc, mh=mh)
             d_, i_ = fused_scan_topk(
                 luts, Bt, e, k=kk, tb=tb, nqt=nqt, variant=variant,
                 interpret=not on_tpu,

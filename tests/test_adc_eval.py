@@ -423,6 +423,36 @@ def test_select_kernel_key_variant(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_deepk_kernel_boundary_tie_widen(rng):
+    """k > 2048 routes to the grouped_unsorted kernel, whose value-strict
+    threshold is arrival-biased about WHICH tie-mates survive the k-th-
+    value boundary. The two-phase widen (VERDICT r3 item 5) must restore
+    the exact lexicographic contract: _run_scan requests k+1 columns,
+    d[k-1] < d[k] certifies no boundary tie-mate was skipped, and tied
+    queries rerun through the lex-exact grouped sorted kernel. Tie-heavy
+    duplicated codes at h=4 make the boundary tie block hundreds wide, so
+    without the widen this fails with near-certainty."""
+    n, nq, d, m, h, k = 6000, 3, 8, 2, 4, 2100
+    C_sub = jnp.asarray(rng.normal(size=(m, h, d // m)).astype(np.float32))
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    B[n // 2:] = B[: n - n // 2]  # massive exact ties
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    res = adc.linscan_pq(B, Q, C_sub, k=k, topk_method="kernel")
+    luts = np.asarray(adc.pq_query_luts(jnp.asarray(Q), C_sub))
+    full = luts[:, np.arange(m)[:, None], B.T].sum(1)
+    ids_lex = np.lexsort(
+        (np.broadcast_to(np.arange(n), full.shape), full), axis=1
+    )[:, :k]
+    # The kernel's hi/lo-split distances are f32-grade but not bitwise
+    # numpy f32 sums; the ID set under ties is still pinned exactly
+    # because whole tie blocks share one LUT-entry sum in both
+    # arithmetics (small-integer-free but exactly-duplicated gathers).
+    np.testing.assert_array_equal(np.asarray(res.ids), ids_lex)
+    np.testing.assert_allclose(
+        np.asarray(res.dists),
+        np.take_along_axis(full, ids_lex, axis=1), rtol=1e-4, atol=1e-4)
+
+
 def test_linscan_base_segmentation_matches_whole(rng):
     """Host-side base segmentation (the >HBM streaming path) must return
     exactly the whole-base result, ids globally offset."""
@@ -553,8 +583,26 @@ def test_select_geometry_defaults(monkeypatch):
     assert select_geometry(10, n=5000) == ("grouped", 8192, None)
     v, tb, _ = select_geometry(10, n=1)
     assert tb == 256 and (tb & (tb - 1)) == 0
+    # Code-width capping: the tuned tb=8192 was measured at m*h=1792 and
+    # must survive both 64-bit widths unchanged, while the 128-bit LUT
+    # widths (m*h=3840/4096 — whose [m*h, tb] one-hot tile would blow the
+    # VMEM budget at tb=8192) halve the tile.
+    assert select_geometry(1000, mh=1792) == ("grouped", 8192, None)
+    assert select_geometry(1000, mh=2048) == ("grouped", 8192, None)
+    assert select_geometry(1000, mh=3840) == ("grouped", 4096, None)
+    assert select_geometry(1000, mh=4096) == ("grouped", 4096, None)
+    assert select_geometry(10000, mh=4096) == ("grouped_unsorted", 4096, 256)
     # Env overrides (tuning sweeps) win over the measured defaults.
     monkeypatch.setenv("LSQ_TPU_SELECT_VARIANT", "sorted")
     monkeypatch.setenv("LSQ_TPU_SELECT_TB", "2048")
     monkeypatch.setenv("LSQ_TPU_SELECT_NQT", "512")
     assert select_geometry(1000) == ("sorted", 2048, 512)
+    # The grouped fold pyramid needs a power-of-two tb >= 128: both bad
+    # shapes must fail at the env boundary with the remedy, not in-kernel.
+    monkeypatch.setenv("LSQ_TPU_SELECT_VARIANT", "grouped")
+    monkeypatch.setenv("LSQ_TPU_SELECT_TB", "3000")
+    with pytest.raises(ValueError, match="power of two"):
+        select_geometry(1000)
+    monkeypatch.setenv("LSQ_TPU_SELECT_TB", "64")
+    with pytest.raises(ValueError, match="power of two"):
+        select_geometry(1000)
