@@ -32,7 +32,15 @@ def main():
         scan_topk_warm,
     )
 
+    import os as _os
+
     n, d, m, h = 1_000_000, 128, 7, 256
+    # Code-width override for the 128-bit geometries (m*h=3840/4096),
+    # e.g. LSQ_TPU_SELECT_SHAPE=15,256 — the kernel consumes [m*h]-shaped
+    # LUTs + [m, n] codes, so d stays fixed.
+    shape_env = _os.environ.get("LSQ_TPU_SELECT_SHAPE", "")
+    if shape_env:
+        m, h = (int(x) for x in shape_env.split(","))
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     nq = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     tbs = [int(x) for x in sys.argv[3:]] or [1024, 2048]

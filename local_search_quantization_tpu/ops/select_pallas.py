@@ -616,12 +616,16 @@ def select_geometry(k: int, n: int | None = None, mh: int | None = None):
 
     mh (optional) is the flat LUT width m*h (h after 128-lane padding):
     the kernel's tile-side VMEM scales with tb*mh (the [m*h, tb] bf16
-    one-hot + matmul buffers, modeled as tb*mh*4 bytes in
-    fused_scan_topk's guard), and the tb=8192 default was tuned at
-    m*h=1792 (58.7 MB). The 128-bit code widths (m*h=3840/4096) exceed
-    the whole 118 MB budget at tb=8192 before any query block fits, so
-    tb halves until the tile model fits 70 MB — giving tb=4096 at
-    m*h=3840/4096 while leaving every m*h <= 2048 geometry untouched.
+    one-hot, tb*mh*2 bytes). Measured on the v5e at the 128-bit widths
+    (k=1000, nq=2048, 1M codes, BASELINE.md 128-bit section): tb=8192
+    still wins — m=15 warm 5,798 qps vs 5,379 (tb=4096) / 4,814
+    (tb=2048); m=16 5,534 vs 5,050 / 4,583 — with the in-function VMEM
+    guard stepping the auto query block 256 -> 128. tb therefore halves
+    only when the bf16 one-hot tile alone exceeds 70 MB (m*h > 4480,
+    e.g. h=512 wide codes), leaving every measured width at 8192. At
+    k > 2048 the [nqt, cap] buffer windows stack on the wider LUT rows:
+    the 64-bit nqt=256 default OOMs at m*h=4096/tb=8192 (142.8M/128M
+    measured), so wide deep-k geometries step nqt to 128.
 
     Env overrides (tuning sweeps): LSQ_TPU_SELECT_VARIANT,
     LSQ_TPU_SELECT_TB, LSQ_TPU_SELECT_NQT.
@@ -630,10 +634,12 @@ def select_geometry(k: int, n: int | None = None, mh: int | None = None):
 
     if k > 2048:
         variant, tb, nqt = "grouped_unsorted", 8192, 256
+        if mh is not None and mh > 2048:
+            nqt = 128  # wide-code deep-k: nqt=256 OOMs (see docstring)
     else:
         variant, tb, nqt = "grouped", 8192, None
     if mh is not None:
-        while tb > 1024 and tb * mh * 4 > 70 * 2**20:
+        while tb > 1024 and tb * mh * 2 > 70 * 2**20:
             tb //= 2
     if n is not None:
         while tb > 256 and tb // 2 >= n:

@@ -583,15 +583,18 @@ def test_select_geometry_defaults(monkeypatch):
     assert select_geometry(10, n=5000) == ("grouped", 8192, None)
     v, tb, _ = select_geometry(10, n=1)
     assert tb == 256 and (tb & (tb - 1)) == 0
-    # Code-width capping: the tuned tb=8192 was measured at m*h=1792 and
-    # must survive both 64-bit widths unchanged, while the 128-bit LUT
-    # widths (m*h=3840/4096 — whose [m*h, tb] one-hot tile would blow the
-    # VMEM budget at tb=8192) halve the tile.
+    # Code-width rules (measured, BASELINE.md 128-bit section): tb=8192
+    # wins through m*h=4096 (the bf16 one-hot tile still fits; the auto
+    # query block steps down instead); only wider LUTs (h=512 wide codes)
+    # halve the tile. Deep-k wide geometries step nqt 256 -> 128 (the
+    # 64-bit nqt=256 default is a measured OOM at m*h=4096/tb=8192).
     assert select_geometry(1000, mh=1792) == ("grouped", 8192, None)
     assert select_geometry(1000, mh=2048) == ("grouped", 8192, None)
-    assert select_geometry(1000, mh=3840) == ("grouped", 4096, None)
-    assert select_geometry(1000, mh=4096) == ("grouped", 4096, None)
-    assert select_geometry(10000, mh=4096) == ("grouped_unsorted", 4096, 256)
+    assert select_geometry(1000, mh=3840) == ("grouped", 8192, None)
+    assert select_geometry(1000, mh=4096) == ("grouped", 8192, None)
+    assert select_geometry(1000, mh=8192) == ("grouped", 4096, None)
+    assert select_geometry(10000, mh=1792) == ("grouped_unsorted", 8192, 256)
+    assert select_geometry(10000, mh=4096) == ("grouped_unsorted", 8192, 128)
     # Env overrides (tuning sweeps) win over the measured defaults.
     monkeypatch.setenv("LSQ_TPU_SELECT_VARIANT", "sorted")
     monkeypatch.setenv("LSQ_TPU_SELECT_TB", "2048")
