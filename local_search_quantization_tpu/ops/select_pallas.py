@@ -28,9 +28,13 @@ selection entirely:
   host scanner (native/lsq_native.cpp), lax.top_k's stable tie rule (the
   sharded-mesh merge and the scan fallbacks), and np.lexsort oracles, so
   route-parity holds even on tie-heavy (small-h) data. The deep-k
-  grouped_unsorted flavor keeps a value-strict threshold (lex
-  replace-worst measured -29% qps at cap ~10k), so its boundary-tie
-  survival is arrival-biased — documented, like the tournament's;
+  grouped_unsorted flavor keeps a value-strict threshold in-kernel (lex
+  replace-worst measured -29% qps at cap ~10k), so its RAW boundary-tie
+  survival is arrival-biased; the single-chip driver (adc._run_scan)
+  restores the exact lex contract two-phase: one extra output column
+  certifies the boundary (every skipped element >= the buffer's final
+  max, so d[k-1] < d[k] proves no tie-mate was lost) and the measure-
+  zero tied queries rerun through the lex-exact grouped sorted kernel;
 - variant="unsorted" replaces the insertion-sorted buffer with a
   replace-worst buffer (~2x fewer vector passes per insert) and defers
   sorting to ONE post-kernel XLA key-value sort over the raw [nq, cap]
