@@ -17,7 +17,9 @@ Three phases, all sized so no phase needs more than one compile per shape:
    includes disk reads).
 3. **k10000** — the reference linscan default depth
    (/root/reference/src/linscan/Linscan.jl:5) over 1M codes through the
-   `auto` route (k > 2048 -> exact group-minima tournament).
+   `auto` route (k > 2048 -> grouped_unsorted select kernel + the
+   two-phase lexicographic boundary widen; the tournament remains the
+   k > 10240 fallback).
 
 Run phases individually:  python -m benchmarks.bench_scale encode64m
 """
@@ -135,8 +137,9 @@ def k10000(n=1_000_000, nq=1024, k=10000, m=7, h=256, d=128):
     res = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=256)
     dt = time.perf_counter() - t0
     assert res.ids.shape == (nq, k)
-    print(f"[k10000] {nq} queries x k={k} over {n:,} codes (tournament "
-          f"route) in {dt:.1f}s = {nq/dt:,.1f} qps", flush=True)
+    print(f"[k10000] {nq} queries x k={k} over {n:,} codes (auto route: "
+          f"grouped_unsorted kernel + lex boundary widen) "
+          f"in {dt:.1f}s = {nq/dt:,.1f} qps", flush=True)
 
 
 if __name__ == "__main__":
