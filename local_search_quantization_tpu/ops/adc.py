@@ -511,7 +511,10 @@ def _run_scan(
             luts, Bj, extra_arr, k=k_req, tb=tb, nqt=nqt, interpret=interp,
             deferred=True, variant=variant,
         )
-        d_np, i_np = np.asarray(d), np.asarray(i)
+        # One coalesced fetch: separate np.asarray calls pay one tunnel
+        # RPC each (~35 ms floor, seconds under jitter) for arrays that
+        # ship together anyway.
+        d_np, i_np = jax.device_get((d, i))
         if bad is not None and bool(np.asarray(bad)):
             # Certificate failed (expected ~never): exact cold rerun. Same
             # tb as the warm scan (and the warm path's own exact-fallback
@@ -526,7 +529,7 @@ def _run_scan(
             d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k_req, tb=tb,
                                      nqt=nqt, interpret=interp,
                                      variant=fb_variant)
-            d_np, i_np = np.asarray(d2), np.asarray(i2)
+            d_np, i_np = jax.device_get((d2, i2))
         if widen:
             # +inf == +inf is not a tie to widen: those rows are sentinel
             # padding (fewer than k finite candidates), already exact.
@@ -544,7 +547,7 @@ def _run_scan(
                     jnp.asarray(np.asarray(luts)[tq]), Bj, extra_arr, k=k,
                     tb=tb, nqt=None, interpret=interp, variant="grouped",
                 )
-                d_np[tq], i_np[tq] = np.asarray(d2), np.asarray(i2)
+                d_np[tq], i_np[tq] = jax.device_get((d2, i2))
         return KNNResult(d_np, i_np)
 
     # Dispatch ALL chunks asynchronously (JAX queues them back-to-back on
