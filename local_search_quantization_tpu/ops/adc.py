@@ -199,7 +199,8 @@ def _pick_group(n: int, k: int) -> int:
 
 
 @partial(jax.jit,
-         static_argnames=("k", "block", "mode", "group", "store_dists"))
+         static_argnames=("k", "block", "mode", "group", "store_dists",
+                          "certify"))
 def _scan_topk_tournament(
     luts: Array,
     Bt: Array,
@@ -209,6 +210,7 @@ def _scan_topk_tournament(
     mode: str = "matmul",
     group: int | None = None,
     store_dists: bool = True,
+    certify: bool = False,
 ) -> KNNResult:
     """EXACT top-k via a group-minima tournament (two passes).
 
@@ -229,16 +231,29 @@ def _scan_topk_tournament(
     (Reference design point: partial_sort over a 1e7 buffer,
     linscan_aqd.cpp:52-53,91.)
 
-    Tie caveat — the one scan path that is NOT fully (dist, id)-
-    lexicographic: a tie-mate exactly at the k-th value whose group lost
-    the minima tournament never enters the candidate set, so WHICH
-    equal-valued ids survive the k boundary is group-rank-biased (making
-    it exact would need every group with min <= the k-th value —
-    unbounded under adversarial all-equal data). Retained ties ARE
-    returned in ascending-id order (final num_keys=2 sort). _run_scan
-    therefore routes here only on TPU at k > the select kernel's VMEM
-    envelope, where f32 full-precision ties are measure-zero; hosts
-    without the native scanner take the lexicographic streaming merge.
+    Tie caveat — alone, this path is NOT fully (dist, id)-lexicographic:
+    a tie-mate exactly at the k-th value whose group lost the minima
+    tournament never enters the candidate set, and lax.top_k's stable
+    tie-break over the candidate axis follows group rank, not global id
+    (retained ties ARE returned in ascending-id order by the final
+    num_keys=2 sort — only boundary SURVIVAL is biased). certify=True
+    turns both failure modes into a checkable certificate, returning
+    (KNNResult, tied[nq] bool):
+
+      * skipped-element bound: every element outside the candidate set
+        lies in a LOSING group, so its distance >= T' = the best losing
+        group's minimum (the (kg+1)-th smallest group min; +inf when
+        every group wins). d[k-1] < T' proves nothing skipped can
+        displace or tie the returned set.
+      * candidate-boundary bound: one extra column (k+1 from the
+        candidates) and d[k-1] < d[k] proves the value cut inside the
+        candidate set is unambiguous.
+
+    Queries with tied=False are therefore EXACTLY lexicographic; tied
+    queries (measure-zero on continuous f32 distances) are rerouted by
+    _run_scan through the lex-exact streaming merge. This mirrors the
+    select kernel's two-phase widen (BASELINE.md deep-k tie contract),
+    so every scan route now shares one (dist, id) contract.
     """
     nq = luts.shape[0]
     m, n = Bt.shape
@@ -264,7 +279,14 @@ def _scan_topk_tournament(
     gmins = jnp.moveaxis(gmins, 1, 0).reshape(nq, n // group)
 
     kg = min(k, n // group)
-    _, gidx = jax.lax.top_k(-gmins, kg)  # [nq, kg] winning groups
+    if certify and kg < n // group:
+        nmins, gidx_w = jax.lax.top_k(-gmins, kg + 1)
+        gidx = gidx_w[:, :kg]  # [nq, kg] winning groups
+        tprime = -nmins[:, kg]  # best LOSING group's min: skipped >= T'
+    else:
+        _, gidx = jax.lax.top_k(-gmins, kg)  # [nq, kg] winning groups
+        # kg == n//group: every group won, nothing was skipped.
+        tprime = jnp.full((nq,), jnp.inf, jnp.float32)
     cand_idx = (
         gidx[:, :, None] * group
         + jnp.arange(group, dtype=jnp.int32)[None, None, :]
@@ -303,7 +325,12 @@ def _scan_topk_tournament(
                 nq, C_
             )
 
-    nd, pos = jax.lax.top_k(-cand, k)
+    # certify requests one extra candidate column for the boundary check
+    # (k + 1 <= kg * group always: kg >= 1 and group >= 8 give >= 8k
+    # candidates when kg == k, and the whole base when kg == n // group,
+    # where _run_scan's 4 * k < n guard bounds k).
+    k_req = k + 1 if certify else k
+    nd, pos = jax.lax.top_k(-cand, k_req)
     ids = jnp.take_along_axis(cand_idx, pos, axis=1)
     # Sentinel contract shared by every scan path: +inf slots (tombstoned
     # rows / fewer than k live candidates) carry id -1, never a real row
@@ -312,8 +339,13 @@ def _scan_topk_tournament(
     ids = jnp.where(jnp.isinf(d), -1, ids).astype(jnp.int32)
     # Retained equal-distance ties ascend by id (top_k's stable order is
     # candidate-POSITION order = group rank, not id) — see the docstring's
-    # tie caveat; survival at the boundary remains group-rank-biased.
+    # tie caveat; boundary survival is certified (or rerouted) under
+    # certify=True and group-rank-biased otherwise.
     d, ids = jax.lax.sort((d, ids), dimension=1, num_keys=2)
+    if certify:
+        fin = jnp.isfinite(d[:, k - 1])
+        tied = fin & ((d[:, k - 1] == d[:, k]) | (d[:, k - 1] >= tprime))
+        return KNNResult(d[:, :k], ids[:, :k]), tied
     return KNNResult(d, ids)
 
 
@@ -431,19 +463,19 @@ def _run_scan(
         elif on_tpu and 4 * k < n:
             # Too-deep-for-VMEM k: the group-minima tournament is
             # value-exact and far cheaper than the per-block lax.top_k
-            # merge. TPU-only: its tie survival is group-rank-biased (see
-            # _scan_topk_tournament's docstring), acceptable at f32
-            # full-precision distances where exact ties are measure-zero.
+            # merge. Lexicographic via the certify/rerun contract below
+            # (see _scan_topk_tournament's docstring): boundary-tied
+            # queries reroute through the exact streaming merge.
             topk_method = "tournament"
         else:
             # Host fallback without the native scanner (and the n <= 4k
             # shallow case everywhere): the streaming lax.top_k merge.
             # Chosen over the (faster) tournament off-TPU because it is
-            # exactly (dist, id)-lexicographic — stable top_k over
-            # id-ascending blocks — so the native scanner, the Pallas
-            # kernel, the sharded-mesh route, and this route all agree
-            # id-for-id even on tie-heavy small-h codes (route-parity
-            # tests pin this).
+            # exactly (dist, id)-lexicographic with no rerun phase —
+            # stable top_k over id-ascending blocks — so the native
+            # scanner, the Pallas kernel, the sharded-mesh route, and
+            # this route all agree id-for-id even on tie-heavy small-h
+            # codes (route-parity tests pin this).
             topk_method = "exact"
     pad = (-n) % base_block
     if pad:
@@ -553,13 +585,14 @@ def _run_scan(
     # Dispatch ALL chunks asynchronously (JAX queues them back-to-back on
     # device), then fetch — a host sync per chunk would serialize compute
     # against the dispatch+fetch RPC latency (~35 ms on a tunneled backend).
-    results, valid = [], []
+    results, valid, tie_work = [], [], []
     for start in range(0, Q.shape[0], query_chunk):
         qc = Q[start : start + query_chunk]
         npad = query_chunk - qc.shape[0]
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(jnp.asarray(qc))
+        tied = None
         if topk_method in ("tournament", "twopass") and 4 * k < Bj.shape[1]:
             # Stash-the-tiles mode only while the [nq, n] f32 buffer and its
             # int32 flat indexing stay comfortable; stream + recompute
@@ -567,8 +600,9 @@ def _run_scan(
             import os as _os
             store = (query_chunk * Bj.shape[1] <= (1 << 28)
                      and _os.environ.get('LSQ_TPU_TOPK_STORE', '1') == '1')
-            res = _scan_topk_tournament(
-                luts, Bj, extraj, k, base_block, mode=mode, store_dists=store
+            res, tied = _scan_topk_tournament(
+                luts, Bj, extraj, k, base_block, mode=mode,
+                store_dists=store, certify=True,
             )
         else:
             res = _scan_topk(luts, Bj, extraj, k, base_block, mode=mode,
@@ -576,8 +610,26 @@ def _run_scan(
                                  "tournament", "twopass") else topk_method)
         results.append(res)
         valid.append(query_chunk - npad)
+        tie_work.append((tied, luts) if tied is not None else None)
     out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
     out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]
+    # Tournament lex contract, phase two (see _scan_topk_tournament's
+    # certificate): rerun tied queries — measure-zero on continuous f32
+    # distances — through the exactly-lexicographic streaming merge,
+    # AFTER the bulk fetch so the hot path stays dispatch-all-then-fetch.
+    for ci, work in enumerate(tie_work):
+        if work is None:
+            continue
+        t = np.asarray(work[0])[: valid[ci]]
+        if not t.any():
+            continue
+        tq = np.flatnonzero(t)
+        fix = _scan_topk(jnp.take(work[1], jnp.asarray(tq), axis=0), Bj,
+                         extraj, k, base_block, mode=mode,
+                         topk_method="exact")
+        out_d[ci], out_i[ci] = out_d[ci].copy(), out_i[ci].copy()
+        out_d[ci][tq] = np.asarray(fix.dists)
+        out_i[ci][tq] = np.asarray(fix.ids)
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
 
 

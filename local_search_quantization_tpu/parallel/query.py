@@ -39,6 +39,8 @@ def sharded_scan_topk(
     block: int = 1 << 15,
     axis: str = DATA_AXIS,
     method: str = "auto",
+    deferred: bool = False,
+    _force_variant: str | None = None,
 ) -> KNNResult:
     """Scan a sharded code database; return global top-k per query.
 
@@ -51,6 +53,24 @@ def sharded_scan_topk(
     fused Pallas scan+select kernel per shard (ops/select_pallas.py, the
     single-chip fast path — 16x the scan merge at k=1000; interpreted
     off-TPU); "auto" picks "kernel" on TPU for moderate k.
+
+    Every route is exactly (dist, id)-lexicographic, matching the
+    single-chip contract. The replace-worst kernel flavors (deep k) are
+    value-strict per shard, so this driver applies the same two-phase
+    widen as ops/adc._run_scan: each shard returns k+1 columns, and
+    d[k-1] < d[k] in EVERY shard certifies no boundary tie-mate was
+    skipped anywhere; tied queries (measure-zero on continuous f32
+    distances) rerun through the in-loop-lexicographic grouped sorted
+    kernel. The merge itself preserves lex order for free: per-shard
+    lists are id-ascending within a tie, shards own ascending global-id
+    ranges, and lax.top_k's stable tie-break follows the shard-major
+    candidate order — which IS global-id order across shards.
+
+    deferred=True returns (KNNResult, tied) with `tied` an UNRESOLVED
+    per-query device bool (None when no widen ran) instead of resolving
+    ties internally — the chunked driver (_sharded_linscan) uses this to
+    keep its dispatch-all-then-fetch pipeline, fixing tied rows after
+    the bulk fetch.
     """
     nshards = mesh.shape[axis]
     shard_n = Bt.shape[1] // nshards
@@ -63,26 +83,39 @@ def sharded_scan_topk(
         method = ("kernel" if on_tpu and k <= 10240 and 4 * k < shard_n
                   else "scan")
 
+    kk = min(k, shard_n)
+    variant = tb = nqt = None
+    widen = False
+    if method == "kernel":
+        from local_search_quantization_tpu.ops.select_pallas import (
+            select_geometry,
+        )
+
+        # Same tuned geometry as the single-chip route (ops/adc.py),
+        # via the shared select_geometry (grouped fold-pyramid
+        # extraction; BASELINE.md "grouped variant" sweep). One
+        # geometry across both paths = one compiled kernel shape.
+        mh = luts.shape[1] * (-(-luts.shape[2] // 128) * 128)
+        variant, tb, nqt = select_geometry(kk, n=shard_n, mh=mh)
+        if _force_variant is not None:
+            variant, nqt = _force_variant, None
+        # kk == shard_n needs no widen: the buffer admits every shard row.
+        widen = variant in ("unsorted", "grouped_unsorted") and kk < shard_n
+    kk_req = kk + 1 if widen else kk
+
     def local(luts, Bt, extra):
         idx = jax.lax.axis_index(axis)
         n_loc = Bt.shape[1]
         if method == "kernel":
             from local_search_quantization_tpu.ops.select_pallas import (
-                fused_scan_topk, select_geometry,
+                fused_scan_topk,
             )
 
             e = extra if extra is not None else jnp.zeros(
                 n_loc, jnp.float32
             )
-            kk = min(k, n_loc)
-            # Same tuned geometry as the single-chip route (ops/adc.py),
-            # via the shared select_geometry (grouped fold-pyramid
-            # extraction; BASELINE.md "grouped variant" sweep). One
-            # geometry across both paths = one compiled kernel shape.
-            mh = luts.shape[1] * (-(-luts.shape[2] // 128) * 128)
-            variant, tb, nqt = select_geometry(kk, n=n_loc, mh=mh)
             d_, i_ = fused_scan_topk(
-                luts, Bt, e, k=kk, tb=tb, nqt=nqt, variant=variant,
+                luts, Bt, e, k=kk_req, tb=tb, nqt=nqt, variant=variant,
                 interpret=not on_tpu,
             )
             if k > n_loc:  # tiny-shard: pad honest sentinels
@@ -117,7 +150,22 @@ def sharded_scan_topk(
         # path keeps the stricter typing via explicit pcasts.
         check_vma=(method != "kernel"),
     )
-    per_shard = fn(luts, Bt, extra)  # [S, nq, k] each
+    per_shard = fn(luts, Bt, extra)  # [S, nq, kk_req] (k-padded if kk < k)
+
+    tied = None
+    if widen:
+        # Boundary-tie certificate, per shard: the widened column only
+        # matters where it EQUALS the k-th value (+inf == +inf is sentinel
+        # padding — fewer than k finite candidates in that shard, already
+        # exact). Any shard failing the check may have skipped a tie-mate
+        # with a smaller global id, so the whole query reruns.
+        d_all = per_shard.dists
+        tied = jnp.any(
+            (d_all[:, :, kk - 1] == d_all[:, :, kk])
+            & jnp.isfinite(d_all[:, :, kk - 1]),
+            axis=0,
+        )
+        per_shard = KNNResult(d_all[:, :, :kk], per_shard.ids[:, :, :kk])
 
     # Merge the S per-shard top-k lists: one re-top-k over S*k candidates
     # per query (runs as a normal jitted op over the sharded arrays — the
@@ -126,7 +174,24 @@ def sharded_scan_topk(
     nd_all = jnp.moveaxis(-per_shard.dists, 0, 1).reshape(nq, -1)
     id_all = jnp.moveaxis(per_shard.ids, 0, 1).reshape(nq, -1)
     nd, pos = jax.lax.top_k(nd_all, k)
-    return KNNResult(-nd, jnp.take_along_axis(id_all, pos, axis=1))
+    merged = KNNResult(-nd, jnp.take_along_axis(id_all, pos, axis=1))
+    if deferred:
+        return merged, tied
+    if tied is not None:
+        tied_np = np.asarray(tied)
+        if tied_np.any():
+            tq = np.flatnonzero(tied_np)
+            fix = sharded_scan_topk(
+                mesh, jnp.take(jnp.asarray(luts), jnp.asarray(tq), axis=0),
+                Bt, extra, k, block=block, axis=axis, method="kernel",
+                _force_variant="grouped",
+            )
+            d_np = np.asarray(merged.dists).copy()
+            i_np = np.asarray(merged.ids).copy()
+            d_np[tq] = np.asarray(fix.dists)
+            i_np[tq] = np.asarray(fix.ids)
+            return KNNResult(d_np, i_np)
+    return merged
 
 
 def _sharded_linscan(
@@ -168,18 +233,41 @@ def _sharded_linscan(
     es = shard_cols(mesh, jnp.asarray(extra), axis)
     Cr = replicated(mesh, jnp.asarray(C))
 
-    results, valid = [], []
+    results, valid, tie_work = [], [], []
     for start in range(0, Q.shape[0], query_chunk):
         qc = Q[start : start + query_chunk]
         npad = query_chunk - qc.shape[0]
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(replicated(mesh, jnp.asarray(qc)), Cr)
-        results.append(sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
-                                         method=method, axis=axis))
+        res, tied = sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
+                                      method=method, axis=axis, deferred=True)
+        results.append(res)
         valid.append(query_chunk - npad)
+        # Keep the chunk's LUTs only while a tie rerun might need them
+        # ([query_chunk, m, h] f32 — small next to the sharded codes).
+        tie_work.append((tied, luts) if tied is not None else None)
     out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
     out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]
+    # Second phase of the deep-k lex contract (see sharded_scan_topk):
+    # rerun the certificate-failing queries — measure-zero on continuous
+    # f32 distances — through the in-loop-lexicographic grouped kernel,
+    # AFTER the bulk fetch so the hot path stays dispatch-all-then-fetch.
+    for ci, work in enumerate(tie_work):
+        if work is None:
+            continue
+        t = np.asarray(work[0])[: valid[ci]]
+        if not t.any():
+            continue
+        tq = np.flatnonzero(t)
+        fix = sharded_scan_topk(
+            mesh, jnp.take(work[1], jnp.asarray(tq), axis=0), Bs, es, k,
+            block=block, axis=axis, method="kernel",
+            _force_variant="grouped",
+        )
+        out_d[ci], out_i[ci] = out_d[ci].copy(), out_i[ci].copy()
+        out_d[ci][tq] = np.asarray(fix.dists)
+        out_i[ci][tq] = np.asarray(fix.ids)
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
 
 

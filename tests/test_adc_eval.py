@@ -512,6 +512,11 @@ def test_linscan_tournament_exactly_matches_streaming(rng):
                           base_block=1024, topk_method="tournament")
     np.testing.assert_allclose(np.asarray(two.dists), np.asarray(exact.dists),
                                rtol=1e-5, atol=1e-5)
+    # Certified lex contract: both routes see bitwise-identical block
+    # distances (same lut_scan_block), and the tournament's certify/rerun
+    # phase makes its boundary survival exactly (dist, id)-lexicographic
+    # — so the ids must MATCH the streaming merge id-for-id, ties or not.
+    np.testing.assert_array_equal(np.asarray(two.ids), np.asarray(exact.ids))
 
     # Recompute mode (no [nq, n] stash): same result, including the norms
     # `extra` term re-added during candidate recomputation.

@@ -277,8 +277,54 @@ def test_tie_heavy_route_parity_exact_ids(rng, mesh):
     if native.available():
         routes["native"] = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k,
                                            topk_method="native")
+    # The group-minima tournament (deep-k fallback beyond the select
+    # kernel's VMEM envelope) joins the contract via its certify/rerun
+    # phase: on this tie-heavy data the certificate fires on nearly
+    # every query, routing through the lex-exact streaming merge.
+    routes["tournament"] = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k,
+                                           query_chunk=8, base_block=512,
+                                           topk_method="tournament")
     for name, res in routes.items():
         np.testing.assert_array_equal(
             np.asarray(res.ids), oracle_ids,
             err_msg=f"route '{name}' diverged from the lexicographic oracle",
         )
+
+
+def test_mesh_deep_k_widen_lex_parity(rng, mesh, monkeypatch):
+    """The sharded deep-k flavor (replace-worst buffer per shard) is
+    value-strict: WHICH ids survive a tie block straddling the k-th value
+    per shard is arrival-biased. sharded_scan_topk's two-phase widen
+    (k+1 column per shard + grouped-kernel rerun of certificate-failing
+    queries) must restore the exact lexicographic ids. Forced via the
+    env variant override so the tie-heavy case stays CPU-mesh sized:
+    h=2/m=2 gives 4 distinct code values over shard_n=512, so the
+    smallest-value tie block (~128 rows) overflows past k=50 AND fills
+    the kernel's 128-slot buffer, so the per-shard certificate fires on
+    every query and the grouped-kernel rerun path is exercised end to
+    end. (Interpret-mode arrival order is id-ascending, which happens to
+    coincide with lex, so the PRE-widen ids are not wrong at this size;
+    the actual divergence + fix was verified at natural deep-k shape —
+    k=2100 > the per-shard kernel envelope — see BASELINE.md "deep-k"
+    round-4 update. This test pins the widen machinery: a broken
+    certificate, rerun dispatch, or row write-back fails the oracle.)"""
+    monkeypatch.setenv("LSQ_TPU_SELECT_VARIANT", "grouped_unsorted")
+    n, nq, d, m, h, k = 4096, 5, 8, 2, 2, 50
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+
+    luts = np.asarray(adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C)))
+    full = luts[:, np.arange(m)[:, None], B.T].sum(1) + dbn[None, :]
+    oracle_ids = np.lexsort(
+        (np.broadcast_to(np.arange(n), full.shape), full), axis=1
+    )[:, :k]
+
+    multi = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k,
+                                query_chunk=8, block=256, method="kernel")
+    np.testing.assert_array_equal(np.asarray(multi.ids), oracle_ids)
+    np.testing.assert_allclose(
+        np.asarray(multi.dists),
+        np.take_along_axis(full, oracle_ids, axis=1), rtol=1e-4, atol=1e-4)
