@@ -78,6 +78,9 @@ def main():
     else:
         nqts = [None] if nq <= 1024 else [None, nq]  # None = _pick_nqt
     warm_only = os.environ.get("LSQ_TPU_SELECT_WARM_ONLY", "") == "1"
+    # precision="bf16" = the hi-only serving mode (LUTs rounded to bf16,
+    # lo matmul dropped — half the scan MXU work; see fused_scan_topk).
+    prec = os.environ.get("LSQ_TPU_SELECT_PRECISION", "f32")
     for tb in tbs:
         for nqt in nqts:
             for v in variants:
@@ -86,10 +89,13 @@ def main():
                 # only its warm timing is meaningful.
                 cold = 0.0 if (warm_only or v == "key") else timeit(
                     lambda lt: fused_scan_topk(
-                        lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v))
+                        lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v,
+                        precision=prec))
                 warm = timeit(lambda lt: scan_topk_warm(
-                    lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v))
-                print(f"k={k} nq={nq} tb={tb} nqt={nqt or 'auto'} {v}: "
+                    lt, Bt, dbn, k=k, tb=tb, nqt=nqt, variant=v,
+                    precision=prec))
+                print(f"k={k} nq={nq} tb={tb} nqt={nqt or 'auto'} {v} "
+                      f"{prec}: "
                       f"cold {cold:8,.0f} qps | warm {warm:8,.0f} qps",
                       flush=True)
 

@@ -523,7 +523,8 @@ class Index:
 
     def search(self, Q, k: int = 100, *, mesh=None,
                nprobe: int | None = None,
-               refine: int | None = None) -> adc.KNNResult:
+               refine: int | None = None,
+               precision: str = "f32") -> adc.KNNResult:
         """ADC k-NN. Beyond `active` rows, results pad with the
         (+inf, -1) sentinel.
 
@@ -538,12 +539,29 @@ class Index:
         ADC candidates by EXACT distance to the stored original vectors;
         returned distances are then true squared L2, not the ADC
         surrogate. Composes with nprobe.
+        precision: "bf16" rounds the query LUTs to bf16 and drops the
+        scan kernel's lo matmul (half the MXU scan work; measured qps +
+        recall delta in BASELINE.md's bf16 serving section). Exhaustive
+        scans only (single-chip; not IVF's host path). Composes with
+        refine — bf16 candidates reranked by exact f32 vector distances
+        is the recommended pairing when using it at all. Default "f32"
+        matches the reference scanners exactly.
         """
         Q = np.asarray(Q, np.float32)
         if Q.ndim != 2 or Q.shape[1] != self.d:
             raise ValueError(f"queries must be [nq, {self.d}], got {Q.shape}")
         if not 1 <= k <= self.n:
             raise ValueError(f"k={k} out of range [1, {self.n}]")
+        if precision not in ("f32", "bf16"):
+            raise ValueError(f"precision must be 'f32' or 'bf16', got "
+                             f"{precision!r}")
+        if precision != "f32" and (
+            (nprobe is not None and nprobe != 0) or mesh is not None
+        ):
+            raise ValueError(
+                "precision='bf16' applies to the single-chip exhaustive "
+                "scan routes (the IVF host path and the sharded mesh "
+                "route scan at f32)")
         if refine is not None and refine != 0:
             from local_search_quantization_tpu.refine import rerank
 
@@ -554,7 +572,8 @@ class Index:
             if refine < 1:
                 raise ValueError(f"refine must be >= 1, got {refine}")
             kc = min(refine * k, self.n)
-            cand = self.search(Q, kc, mesh=mesh, nprobe=nprobe)
+            cand = self.search(Q, kc, mesh=mesh, nprobe=nprobe,
+                               precision=precision)
             # Belt and braces on the sentinel contract: a +inf first-stage
             # slot must never reach the reranker with a real id (the exact
             # rerank would resurrect a tombstoned row at a finite distance).
@@ -587,12 +606,13 @@ class Index:
                 mesh, B, Q, model.C_sub, k, R=R, extra=self._extra)
         if self.additive:
             R = np.asarray(model.R) if self.method == "chainq" else None
-            return adc.linscan_lsq(self.B, Q, model.C, self._dbn, k=k, R=R)
+            return adc.linscan_lsq(self.B, Q, model.C, self._dbn, k=k, R=R,
+                                   precision=precision)
         if self.method == "opq":
             return adc.linscan_opq(self.B, Q, model.C_sub, model.R, k=k,
-                                   extra=self._extra)
+                                   extra=self._extra, precision=precision)
         return adc.linscan_pq(self.B, Q, model.C_sub, k=k,
-                              extra=self._extra)
+                              extra=self._extra, precision=precision)
 
     def add(self, X) -> list[int]:
         """Encode X with the frozen model and append; returns assigned ids.

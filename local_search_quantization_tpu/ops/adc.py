@@ -361,6 +361,7 @@ def _run_scan(
     mode: str = "matmul",
     topk_method: str = "auto",
     base_segment: int = 1 << 26,
+    precision: str = "f32",
 ) -> KNNResult:
     """Driver: chunk queries on host, pad base to a block multiple, scan.
 
@@ -373,7 +374,35 @@ def _run_scan(
     segments whose per-segment top-k lists are merged on the host — the
     SIFT1B-scale analog of the reference scanners' 1e7-entry buffering
     (linscan_aqd.cpp:52-53).
+
+    precision="bf16" is the serving fast mode: the per-query LUTs are
+    rounded ONCE to bf16 (then kept in f32 containers), and the kernel
+    route drops its lo matmul — half the MXU scan work (measured qps in
+    BASELINE.md's bf16 serving section). The result is the EXACT
+    (dist, id)-lexicographic top-k of the rounded-LUT distances — a
+    deterministic contract, not a tolerance — and because the rounding
+    happens here at the driver, every route (kernel, streaming merge,
+    tournament, native scanner) scans the same rounded tables, so route
+    parity is preserved in this mode too (sums may differ by f32
+    accumulation-order ulps across routes; boundary ids could swap only
+    at such near-ties). The reference scanners are f32-only
+    (linscan_aqd.cpp:66-74); "f32" remains the default and the parity
+    configuration.
     """
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"precision must be 'f32' or 'bf16', got "
+                         f"{precision!r}")
+    if precision == "bf16":
+        inner_luts_fn = luts_fn
+
+        def luts_fn(q):
+            # The barrier keeps XLA's excess-precision pass from holding
+            # the bf16 cast in f32 (CLAUDE.md: silently degrades hi/lo
+            # splits; here it would silently UN-round the tables).
+            return jax.lax.optimization_barrier(
+                inner_luts_fn(q).astype(jnp.bfloat16)
+            ).astype(jnp.float32)
+
     Q = np.asarray(Q)
     B = np.asarray(B)
     n = B.shape[0]
@@ -382,11 +411,15 @@ def _run_scan(
         parts = []
         for s0 in range(0, n, base_segment):
             s1 = min(s0 + base_segment, n)
+            # precision passes through: the segment re-wraps the already-
+            # wrapped luts_fn (bf16 rounding is idempotent) and keeps the
+            # kernel's hi-only flag in force per segment.
             seg = _run_scan(
                 luts_fn, Q, B[s0:s1], k=min(k, s1 - s0),
                 extra=None if extra is None else np.asarray(extra)[s0:s1],
                 query_chunk=query_chunk, base_block=base_block, mode=mode,
                 topk_method=topk_method, base_segment=base_segment,
+                precision=precision,
             )
             # A (+inf, -1) sentinel must not be offset into a REAL id of
             # the previous segment (same id-forging class the tournament
@@ -541,7 +574,7 @@ def _run_scan(
         k_req = k + 1 if widen else k
         d, i, bad = scan_topk_warm(
             luts, Bj, extra_arr, k=k_req, tb=tb, nqt=nqt, interpret=interp,
-            deferred=True, variant=variant,
+            deferred=True, variant=variant, precision=precision,
         )
         # One coalesced fetch: separate np.asarray calls pay one tunnel
         # RPC each (~35 ms floor, seconds under jitter) for arrays that
@@ -560,7 +593,8 @@ def _run_scan(
             fb_variant = "sorted" if variant == "key" else variant
             d2, i2 = fused_scan_topk(luts, Bj, extra_arr, k=k_req, tb=tb,
                                      nqt=nqt, interpret=interp,
-                                     variant=fb_variant)
+                                     variant=fb_variant,
+                                     precision=precision)
             d_np, i_np = jax.device_get((d2, i2))
         if widen:
             # +inf == +inf is not a tie to widen: those rows are sentinel
@@ -578,6 +612,7 @@ def _run_scan(
                 d2, i2 = fused_scan_topk(
                     jnp.asarray(np.asarray(luts)[tq]), Bj, extra_arr, k=k,
                     tb=tb, nqt=None, interpret=interp, variant="grouped",
+                    precision=precision,
                 )
                 d_np[tq], i_np[tq] = jax.device_get((d2, i2))
         return KNNResult(d_np, i_np)

@@ -10,7 +10,9 @@ selection entirely:
 - distances: one-hot(codes) x LUT matmuls on the MXU, with the per-query
   LUT split hi/lo into two bf16 operands (one-hot entries are exact in
   bf16, so two matmuls recover ~16 mantissa bits of each LUT entry —
-  f32-grade ADC distances);
+  f32-grade ADC distances); precision="bf16" (opt-in serving mode) rounds
+  the LUTs once and drops the lo matmul — half the scan MXU work, still
+  an exact lexicographic top-k of the rounded-table distances;
 - selection: each query keeps an insertion-sorted top-k buffer in VMEM.
   Per code tile, elements are extracted only while they beat the current
   per-query threshold (expected total inserts per query without warm start
@@ -96,13 +98,20 @@ def _dist_tile(lut_hi_ref, lut_lo_ref, codes_ref, extra_ref,
     split LUTs (see _split_hi_lo) plus the per-row norm term. Shared by the
     sorted/unsorted and grouped kernels so the contraction (dimension
     numbers, accumulation dtype) cannot drift between variants; the key
-    kernel intentionally uses a hi-only half-work version."""
+    kernel intentionally uses a hi-only half-work version.
+
+    lut_lo_ref=None is the precision="bf16" serving mode: ONE matmul over
+    the bf16-rounded LUTs (half the MXU scan work) with f32 accumulation —
+    the exact distance of the ROUNDED tables, not an approximation of the
+    f32 one (see fused_scan_topk's precision arg)."""
     oh = _onehot_tile(codes_ref, m, h, tb)  # [m*h, tb]
     dhi = jax.lax.dot_general(
         lut_hi_ref[:, :], oh,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if lut_lo_ref is None:
+        return dhi + extra_ref[0, :][None, :]
     dlo = jax.lax.dot_general(
         lut_lo_ref[:, :], oh,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -672,7 +681,8 @@ def select_geometry(k: int, n: int | None = None, mh: int | None = None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "tb", "nqt", "interpret", "variant", "append_cap"),
+    static_argnames=("k", "tb", "nqt", "interpret", "variant", "append_cap",
+                     "precision"),
 )
 def fused_scan_topk(
     luts: Array,
@@ -686,6 +696,7 @@ def fused_scan_topk(
     t0: Array | None = None,
     variant: str = "sorted",
     append_cap: int | None = None,
+    precision: str = "f32",
 ):
     """Exact kNN over the full base in ONE kernel launch per query set.
 
@@ -718,6 +729,20 @@ def fused_scan_topk(
         certificate (hi-matmul error bound vs the k-th margin, and
         append-buffer overflow) — the caller falls back to an exact
         variant when set.
+      precision: "f32" (default) scans with the hi/lo split — f32-grade
+        distances, the reference scanners' precision. "bf16" is the
+        serving fast mode: the LUTs are rounded ONCE to bf16 and the lo
+        matmul is dropped entirely (half the MXU scan work, and the lo
+        LUT's VMEM freed). The result is still an EXACT lexicographic
+        top-k — of the distances computed from the rounded tables (f32
+        accumulation), a deterministic contract rather than a tolerance:
+        adc._run_scan rounds the LUTs for its non-kernel routes the same
+        way, so route parity holds in this mode too. Relative distance
+        error vs f32 is bounded by the bf16 half-ulp (~2^-9) per LUT
+        entry over m summed entries; recall impact is measured in
+        BASELINE.md (bf16 serving mode section). Not combinable with
+        variant="key" (already hi-only by construction, with an exact
+        re-rank on top).
 
     Per-shard use inside shard_map requires check_vma=False on the
     shard_map (parallel/query.py does this): pallas outputs carry no
@@ -737,10 +762,17 @@ def fused_scan_topk(
         hp = -(-h // 128) * 128
         luts = jnp.pad(luts, ((0, 0), (0, 0), (0, hp - h)))
         h = hp
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"precision must be 'f32' or 'bf16', got "
+                         f"{precision!r}")
+    hi_only = precision == "bf16"
     key_mode = variant == "key"
     if key_mode:
         assert t0 is not None, "variant='key' requires a warm threshold"
         assert tb <= (1 << _LANE_BITS), (tb, 1 << _LANE_BITS)
+        assert not hi_only, (
+            "variant='key' is hi-only by construction (with an exact "
+            "re-rank); precision='bf16' applies to the buffer variants")
     auto_nqt = nqt is None
     if auto_nqt:
         nqt = _pick_nqt(nq)
@@ -768,7 +800,8 @@ def fused_scan_topk(
     # dominate: nqt=512 at cap=10112 is a measured live OOM while this
     # model correctly steps to the measured-good nqt=256 (BASELINE.md).
     buf_bytes = cap * 12 if key_mode else cap * 24
-    lut_row = m * h * (2 if key_mode else 4)  # key mode is hi-only
+    # key and bf16 modes carry a single bf16 LUT operand (hi only).
+    lut_row = m * h * (2 if key_mode or hi_only else 4)
     # grouped variants carry two extra [nqt, tb] fold scratch refs
     # (f32 values + i32 lanes) on top of the dist scratch.
     scr_bytes = tb * (12 if variant in ("grouped", "grouped_unsorted")
@@ -796,7 +829,14 @@ def fused_scan_topk(
     npad = n + pad_n
 
     flat = luts.reshape(nqp, m * h)
-    hi, lo = _split_hi_lo(flat)
+    if hi_only:
+        # bf16 serving mode: round ONCE (the barrier stops XLA's
+        # excess-precision pass from keeping the cast in f32 — see
+        # _split_hi_lo); no lo residual exists in this mode.
+        hi = jax.lax.optimization_barrier(flat.astype(jnp.bfloat16))
+        lo = None
+    else:
+        hi, lo = _split_hi_lo(flat)
 
     grid = (nqp // nqt, npad // tb)
     common_in_specs = [
@@ -889,10 +929,25 @@ def fused_scan_topk(
             _select_kernel, m=m, h=h, k=k, cap=cap, tb=tb, nqt=nqt,
             unsorted=(variant == "unsorted"),
         )
+    if hi_only:
+        # bf16 mode passes no lo operand at all (frees its VMEM window
+        # and the second matmul); the kernels take lut_lo_ref=None
+        # through _dist_tile.
+        full_kernel = kernel
+
+        def kernel(lut_hi_ref, codes_ref, extra_ref, t0_ref, *rest):
+            return full_kernel(lut_hi_ref, None, codes_ref, extra_ref,
+                               t0_ref, *rest)
+
+        in_specs = [common_in_specs[0]] + common_in_specs[2:]
+        operands = (hi, Bt, extra[None, :], t0)
+    else:
+        in_specs = common_in_specs
+        operands = (hi, lo, Bt, extra[None, :], t0)
     out_d, out_i = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=common_in_specs,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((nqt, cap), lambda q, t: (q, 0)),
             pl.BlockSpec((nqt, cap), lambda q, t: (q, 0)),
@@ -906,7 +961,7 @@ def fused_scan_topk(
             vmem_limit_bytes=127 * 1024 * 1024
         ),
         interpret=interpret,
-    )(hi, lo, Bt, extra[None, :], t0)
+    )(*operands)
     if variant in ("unsorted", "grouped_unsorted"):
         # One key-value sort over the cap-wide raw buffers for the WHOLE
         # query set (never per tile): restores the sorted-ascending output
@@ -934,6 +989,7 @@ def scan_topk_warm(
     deferred: bool = False,
     min_k: int = 512,
     variant: str = "sorted",
+    precision: str = "f32",
 ):
     """fused_scan_topk with a sampled warm-start threshold. Always exact.
 
@@ -958,8 +1014,17 @@ def scan_topk_warm(
     bool instead of syncing on it here — callers that fetch the results
     anyway (e.g. adc._run_scan) check it at their own fetch boundary and
     rerun cold iff set, saving one ~35 ms host round-trip per query block.
+
+    precision="bf16" (see fused_scan_topk) applies to the pre-scan, the
+    main scan, and the cold fallback alike, so the warm bound, the
+    certificate, and the results all live in ONE consistent metric (the
+    bf16-rounded-LUT distances) — the under-capture reasoning is
+    unchanged.
     """
     n = Bt.shape[1]
+    if precision == "bf16" and variant == "key":
+        raise ValueError("variant='key' is hi-only by construction; "
+                         "precision='bf16' applies to the buffer variants")
     key_mode = variant == "key"
     # The key variant's fallback (and the small-k/small-n early path,
     # where its re-rank overhead cannot pay off, and the t0-less cold
@@ -971,7 +1036,7 @@ def scan_topk_warm(
     if k < min_k or k * sample_stride * 2 > n or n < min_n:
         d, i = fused_scan_topk(
             luts, Bt, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
-            variant=exact_variant,
+            variant=exact_variant, precision=precision,
         )
         return (d, i, None) if deferred else (d, i)
     if sample_rank is None:
@@ -981,7 +1046,7 @@ def scan_topk_warm(
     es = extra[::sample_stride]
     ds, _ = fused_scan_topk(
         luts, Bs, es, k=sample_rank, tb=tb, nqt=nqt, interpret=interpret,
-        variant=exact_variant,
+        variant=exact_variant, precision=precision,
     )
     t0 = ds[:, sample_rank - 1 : sample_rank]
     if key_mode:
@@ -997,7 +1062,7 @@ def scan_topk_warm(
     else:
         d, i = fused_scan_topk(
             luts, Bt, extra, k=k, tb=tb, nqt=nqt, interpret=interpret, t0=t0,
-            variant=variant,
+            variant=variant, precision=precision,
         )
         bad = jnp.any(d[:, k - 1 :] >= t0)
     if deferred:
@@ -1006,6 +1071,6 @@ def scan_topk_warm(
         # Certificate failed (expected ~never): exact cold run.
         return fused_scan_topk(
             luts, Bt, extra, k=k, tb=tb, nqt=nqt, interpret=interpret,
-            variant=exact_variant,
+            variant=exact_variant, precision=precision,
         )
     return d, i

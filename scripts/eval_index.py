@@ -39,6 +39,9 @@ def main():
                     help="IVF probe count (needs build_index --ivf-nlist); 0 = exhaustive")
     ap.add_argument("--refine", type=int, default=0,
                     help="exact-rerank factor (needs build_index --refine)")
+    ap.add_argument("--precision", default="f32", choices=("f32", "bf16"),
+                    help="scan precision: bf16 = hi-only serving fast mode "
+                         "(LUTs rounded once; exhaustive scans only)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=None, help="optional JSON output path")
     args = ap.parse_args()
@@ -83,7 +86,8 @@ def main():
     for s in range(0, x_query.shape[0], args.query_chunk):
         res = idx.search(x_query[s:s + args.query_chunk], k=k,
                          nprobe=args.nprobe or None,
-                         refine=args.refine or None)
+                         refine=args.refine or None,
+                         precision=args.precision)
         ids.append(np.asarray(res.ids))
     ids = np.concatenate(ids)
     dt = time.time() - t0
@@ -95,6 +99,7 @@ def main():
             "index": args.index, "dataset": dataset, "k": k,
             "nprobe": args.nprobe or None,
             "refine": args.refine or None,
+            "precision": args.precision,
             "nquery": int(x_query.shape[0]), "qps": x_query.shape[0] / dt,
             "recall": {f"r@{n}": float(curve[n - 1])
                        for n in (1, 2, 5, 10, 20, 50, 100, 200, 500, 1000)

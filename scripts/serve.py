@@ -18,7 +18,12 @@ then one response per request line:
               0 for the exhaustive scan; --nprobe sets the default.
               "refine": r reranks the top r*k ADC candidates by exact
               distance to the stored original vectors — needs a refine
-              store in the index; distances become true squared L2)
+              store in the index; distances become true squared L2.
+              "precision": "bf16" is the hi-only serving fast mode —
+              LUTs rounded once, half the scan MXU work, exact
+              lexicographic top-k of the rounded metric; exhaustive
+              scans only, composes with refine; --precision sets the
+              default)
     insert:   {"op": "add", "id": 8, "vectors": [[...], ...]}
            -> {"id": 8, "added": [n0, n0+1, ...], "n": new_total}
               (encodes with the FROZEN trained model — PQ/OPQ subspace
@@ -67,6 +72,10 @@ def main():
     ap.add_argument("--refine", type=int, default=0,
                     help="default exact-rerank factor; 0 = off (request may "
                          "override; needs --refine at build)")
+    ap.add_argument("--precision", default="f32", choices=("f32", "bf16"),
+                    help="default scan precision; bf16 = hi-only serving "
+                         "fast mode (request may override; exhaustive "
+                         "scans only — rejected with nprobe)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the compile-triggering dummy batch")
@@ -116,7 +125,9 @@ def main():
                                  nprobe=int(req.get("nprobe", args.nprobe))
                                  or None,
                                  refine=int(req.get("refine", args.refine))
-                                 or None)
+                                 or None,
+                                 precision=str(req.get("precision",
+                                                       args.precision)))
                 out = {"id": req.get("id"),
                        "ids": np.asarray(res.ids).tolist(),
                        "dists": np.asarray(res.dists).tolist()}

@@ -273,6 +273,85 @@ def test_select_kernel_unsorted_large_k_saturating(rng):
     )
 
 
+def test_select_kernel_bf16_precision_mode(rng):
+    """precision="bf16" (the hi-only serving mode) returns the EXACT
+    lexicographic top-k of distances computed from bf16-ROUNDED LUTs —
+    a deterministic contract, not a tolerance. Pinned against an oracle
+    that rounds the same way; the rounding must actually bite (the
+    rounded tables differ from f32); and the driver (_run_scan) must
+    apply the same rounding on its non-kernel routes so route parity
+    holds in this mode too."""
+    from local_search_quantization_tpu.ops.select_pallas import (
+        fused_scan_topk,
+        scan_topk_warm,
+    )
+
+    n, nq, d, m, h, k = 8192, 6, 8, 3, 8, 33
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+
+    # Oracle over the ROUNDED tables (f64 sums of bf16-exact values =
+    # exact; kernel f32 accumulation differs by ulps, far below the
+    # boundary gaps on continuous data).
+    rl = np.asarray(jnp.asarray(luts).astype(jnp.bfloat16).astype(
+        jnp.float32), np.float64)
+    assert np.any(rl != np.asarray(luts)), "rounding must actually bite"
+    full_r = rl[:, np.arange(m)[:, None], B.T].sum(1) + dbn[None, :]
+    oracle_ids = np.lexsort(
+        (np.broadcast_to(np.arange(n), full_r.shape), full_r), axis=1
+    )[:, :k]
+    oracle_d = np.take_along_axis(full_r, oracle_ids, axis=1)
+
+    for variant in ("sorted", "grouped"):
+        db, ib = fused_scan_topk(
+            luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024,
+            interpret=True, variant=variant, precision="bf16")
+        np.testing.assert_array_equal(np.asarray(ib), oracle_ids)
+        np.testing.assert_allclose(np.asarray(db), oracle_d,
+                                   rtol=1e-5, atol=1e-5)
+
+    # Warm path: pre-scan, threshold, certificate, and main scan all in
+    # the rounded metric.
+    dw, iw = scan_topk_warm(
+        luts, jnp.asarray(B.T), jnp.asarray(dbn), k=k, tb=1024,
+        interpret=True, sample_stride=4, min_n=0, min_k=0,
+        variant="grouped", precision="bf16")
+    np.testing.assert_array_equal(np.asarray(iw), oracle_ids)
+
+    # Driver routes: the streaming merge, the tournament, and the native
+    # C++ scanner all scan the SAME rounded tables (luts_fn is wrapped
+    # once in _run_scan, before routing), so their ids match the
+    # kernel's rounded-metric oracle id-for-id.
+    from local_search_quantization_tpu.utils import native as _nat
+
+    methods = ("exact", "tournament") + (
+        ("native",) if _nat.available() else ())
+    for method in methods:
+        res = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k,
+                              query_chunk=8, base_block=1024,
+                              topk_method=method, precision="bf16")
+        np.testing.assert_array_equal(np.asarray(res.ids), oracle_ids)
+
+    # f32 vs bf16 quality on continuous data: the rounded mode's top-k
+    # overlaps the exact mode's almost entirely (measured recall deltas
+    # live in BASELINE.md; this pins "no gross quality cliff" in CI).
+    exact = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k,
+                            query_chunk=8, base_block=1024,
+                            topk_method="exact")
+    overlap = np.mean([
+        len(set(map(int, a)) & set(map(int, b))) / k
+        for a, b in zip(np.asarray(exact.ids), oracle_ids)
+    ])
+    assert overlap >= 0.9, overlap
+
+    with pytest.raises(ValueError, match="precision"):
+        adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, precision="fp8")
+
+
 def test_select_kernel_grouped_variant_matches_sorted(rng):
     """The two-level fold-pyramid extraction (variant="grouped") must
     return exactly the sorted variant's result — cold, warm, under heavy

@@ -122,3 +122,31 @@ def test_index_build_sr_production_path(tmp_path, data):
         Index.build(data.train, data.base[:50], "pq", m=2, h=16, sr="SR-C")
     with pytest.raises(ValueError, match="sr must be"):
         Index.build(data.train, data.base[:50], "lsq", m=2, h=16, sr="src")
+
+
+def test_index_search_bf16_precision(data):
+    """Index.search(precision='bf16'): the serving fast mode returns the
+    exact top-k of the bf16-rounded-LUT metric (ops/adc._run_scan), so
+    on continuous data it agrees with f32 almost id-for-id; invalid and
+    unsupported combinations must refuse loudly."""
+    idx = Index.build(data.train, data.base, "pq", m=2, h=16, niter=2,
+                      seed=0)
+    r32 = idx.search(data.query, k=10)
+    rbf = idx.search(data.query, k=10, precision="bf16")
+    assert rbf.ids.shape == (8, 10)
+    overlap = np.mean([
+        len(set(map(int, a)) & set(map(int, b))) / 10
+        for a, b in zip(np.asarray(r32.ids), np.asarray(rbf.ids))
+    ])
+    assert overlap >= 0.9, overlap
+    # The rounded metric's distances differ from f32 by at most the bf16
+    # half-ulp envelope (rel ~2^-9 per LUT entry) — not bitwise equal,
+    # not grossly off.
+    np.testing.assert_allclose(np.asarray(rbf.dists), np.asarray(r32.dists),
+                               rtol=2e-2, atol=2e-2)
+
+    with pytest.raises(ValueError, match="precision"):
+        idx.search(data.query, k=10, precision="fp8")
+    idx.build_ivf(nlist=8)
+    with pytest.raises(ValueError, match="bf16"):
+        idx.search(data.query, k=10, nprobe=2, precision="bf16")

@@ -91,10 +91,17 @@ def test_build_and_serve(tmp_path, method, rng):
         p.stdin.write(json.dumps({"op": "delete", "id": 10,
                                   "ids": [99999]}) + "\n")
         p.stdin.write(json.dumps({"op": "save", "id": 11}) + "\n")
+        # Per-request serving precision: bf16 scans the rounded-LUT
+        # metric (still exact lexicographic top-k); invalid values are
+        # answered as errors, not fatal.
+        p.stdin.write(json.dumps({"id": 12, "vectors": q.tolist(),
+                                  "precision": "bf16"}) + "\n")
+        p.stdin.write(json.dumps({"id": 13, "vectors": q[:1].tolist(),
+                                  "precision": "fp8"}) + "\n")
         p.stdin.write("EOF\n")
         p.stdin.flush()
-        (r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11) = (
-            json.loads(p.stdout.readline()) for _ in range(11))
+        (r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13) = (
+            json.loads(p.stdout.readline()) for _ in range(13))
     finally:
         p.stdin.close()
         assert p.wait(timeout=60) == 0
@@ -115,6 +122,14 @@ def test_build_and_serve(tmp_path, method, rng):
     assert 1500 not in r9["ids"][0], r9["ids"]
     assert "error" in r10  # out-of-range delete refused
     assert r11["saved"].endswith("codes.npz")
+    # bf16 mode answers post-mutation (1502 rows, id 1500 tombstoned);
+    # the rounded metric agrees with f32 on most of a tiny top-5.
+    assert np.shape(r12["ids"]) == (3, 5)
+    assert 1500 not in np.asarray(r12["ids"]).ravel()
+    overlap = np.mean([len(set(a) & set(b)) / 5
+                       for a, b in zip(r12["ids"], r1["ids"])])
+    assert overlap >= 0.6, (r12["ids"], r1["ids"])
+    assert "error" in r13 and "precision" in r13["error"]
 
     # The saved index must reload with the insert AND the tombstone intact.
     p2 = subprocess.Popen(
