@@ -542,10 +542,11 @@ class Index:
         precision: "bf16" rounds the query LUTs to bf16 and drops the
         scan kernel's lo matmul (half the MXU scan work; measured qps +
         recall delta in BASELINE.md's bf16 serving section). Exhaustive
-        scans only (single-chip; not IVF's host path). Composes with
-        refine — bf16 candidates reranked by exact f32 vector distances
-        is the recommended pairing when using it at all. Default "f32"
-        matches the reference scanners exactly.
+        scans only (single-chip and mesh routes; not IVF's host path —
+        its probed-candidate distances are exact by design, ivf.py).
+        Composes with refine — bf16 candidates reranked by exact f32
+        vector distances is the recommended pairing when using it at
+        all. Default "f32" matches the reference scanners exactly.
         """
         Q = np.asarray(Q, np.float32)
         if Q.ndim != 2 or Q.shape[1] != self.d:
@@ -555,13 +556,11 @@ class Index:
         if precision not in ("f32", "bf16"):
             raise ValueError(f"precision must be 'f32' or 'bf16', got "
                              f"{precision!r}")
-        if precision != "f32" and (
-            (nprobe is not None and nprobe != 0) or mesh is not None
-        ):
+        if precision != "f32" and nprobe is not None and nprobe != 0:
             raise ValueError(
-                "precision='bf16' applies to the single-chip exhaustive "
-                "scan routes (the IVF host path and the sharded mesh "
-                "route scan at f32)")
+                "precision='bf16' applies to the exhaustive scan routes "
+                "(single-chip or mesh); the IVF host path scans probed "
+                "candidates at exact f32 by design")
         if refine is not None and refine != 0:
             from local_search_quantization_tpu.refine import rerank
 
@@ -600,10 +599,11 @@ class Index:
                 Qr = Q @ np.asarray(model.R, np.float32) \
                     if self.method == "chainq" else Q
                 return pq_mod.sharded_linscan_lsq(
-                    mesh, B, Qr, model.C, self._dbn, k)
+                    mesh, B, Qr, model.C, self._dbn, k, precision=precision)
             R = model.R if self.method == "opq" else None
             return pq_mod.sharded_linscan_pq(
-                mesh, B, Q, model.C_sub, k, R=R, extra=self._extra)
+                mesh, B, Q, model.C_sub, k, R=R, extra=self._extra,
+                precision=precision)
         if self.additive:
             R = np.asarray(model.R) if self.method == "chainq" else None
             return adc.linscan_lsq(self.B, Q, model.C, self._dbn, k=k, R=R,

@@ -40,6 +40,7 @@ def sharded_scan_topk(
     axis: str = DATA_AXIS,
     method: str = "auto",
     deferred: bool = False,
+    precision: str = "f32",
     _force_variant: str | None = None,
 ) -> KNNResult:
     """Scan a sharded code database; return global top-k per query.
@@ -71,7 +72,19 @@ def sharded_scan_topk(
     ties internally — the chunked driver (_sharded_linscan) uses this to
     keep its dispatch-all-then-fetch pipeline, fixing tied rows after
     the bulk fetch.
+
+    precision="bf16" is the serving fast mode (ops/select_pallas.
+    fused_scan_topk): the kernel route scans hi-only over bf16-rounded
+    LUTs — the kernel itself performs the rounding, so callers may pass
+    f32 LUTs. The streaming "scan" route does NOT round here; callers
+    wanting cross-method metric consistency round the LUTs once at the
+    driver (_sharded_linscan does). The widen/tie certificate and the
+    grouped rerun stay in the same rounded metric, so the lex contract
+    is preserved in this mode too.
     """
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"precision must be 'f32' or 'bf16', got "
+                         f"{precision!r}")
     nshards = mesh.shape[axis]
     shard_n = Bt.shape[1] // nshards
     on_tpu = mesh_platform(mesh) == "tpu"  # NOT jax.default_backend():
@@ -116,7 +129,7 @@ def sharded_scan_topk(
             )
             d_, i_ = fused_scan_topk(
                 luts, Bt, e, k=kk_req, tb=tb, nqt=nqt, variant=variant,
-                interpret=not on_tpu,
+                interpret=not on_tpu, precision=precision,
             )
             if k > n_loc:  # tiny-shard: pad honest sentinels
                 padw = k - n_loc
@@ -184,7 +197,7 @@ def sharded_scan_topk(
             fix = sharded_scan_topk(
                 mesh, jnp.take(jnp.asarray(luts), jnp.asarray(tq), axis=0),
                 Bt, extra, k, block=block, axis=axis, method="kernel",
-                _force_variant="grouped",
+                precision=precision, _force_variant="grouped",
             )
             d_np = np.asarray(merged.dists).copy()
             i_np = np.asarray(merged.ids).copy()
@@ -207,12 +220,22 @@ def _sharded_linscan(
     block: int,
     method: str,
     axis: str,
+    precision: str = "f32",
 ) -> KNNResult:
     """Shared multi-chip linscan driver: pad + shard the codes, then
     dispatch ALL query chunks before fetching any (same queue-then-fetch
     pattern as ops/adc._run_scan — a host sync per chunk would serialize
     each shard scan against the ~35 ms dispatch+fetch RPC of a tunneled
-    backend; queued results are small, [query_chunk, k] x2 per chunk)."""
+    backend; queued results are small, [query_chunk, k] x2 per chunk).
+
+    precision="bf16": the LUTs are rounded ONCE here at the driver —
+    exactly where ops/adc._run_scan rounds for the single-chip routes —
+    so the kernel and streaming shard scans, the tie certificate, and
+    the grouped rerun all live in one consistent rounded metric, and the
+    mesh route's ids match the single-chip bf16 route id-for-id."""
+    if precision not in ("f32", "bf16"):
+        raise ValueError(f"precision must be 'f32' or 'bf16', got "
+                         f"{precision!r}")
     from local_search_quantization_tpu.parallel.mesh import replicated, shard_cols
 
     B = np.asarray(B)
@@ -240,8 +263,15 @@ def _sharded_linscan(
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(replicated(mesh, jnp.asarray(qc)), Cr)
+        if precision == "bf16":
+            # The barrier stops XLA's excess-precision pass from keeping
+            # the cast in f32 (CLAUDE.md: it silently un-rounds casts on
+            # TPU under --xla_allow_excess_precision).
+            luts = jax.lax.optimization_barrier(
+                luts.astype(jnp.bfloat16)).astype(jnp.float32)
         res, tied = sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
-                                      method=method, axis=axis, deferred=True)
+                                      method=method, axis=axis, deferred=True,
+                                      precision=precision)
         results.append(res)
         valid.append(query_chunk - npad)
         # Keep the chunk's LUTs only while a tie rerun might need them
@@ -263,7 +293,7 @@ def _sharded_linscan(
         fix = sharded_scan_topk(
             mesh, jnp.take(work[1], jnp.asarray(tq), axis=0), Bs, es, k,
             block=block, axis=axis, method="kernel",
-            _force_variant="grouped",
+            precision=precision, _force_variant="grouped",
         )
         out_d[ci], out_i[ci] = out_d[ci].copy(), out_i[ci].copy()
         out_d[ci][tq] = np.asarray(fix.dists)
@@ -284,19 +314,21 @@ def sharded_linscan_pq(
     block: int = 1 << 15,
     method: str = "auto",
     axis: str = DATA_AXIS,
+    precision: str = "f32",
 ) -> KNNResult:
     """Multi-chip PQ/OPQ scanner: shard codes, replicate subspace LUTs.
 
     Pass R to rotate queries into code space first (OPQ). `extra` is an
     optional [n] additive distance term (e.g. +inf tombstones from
-    Index.delete); it defaults to zeros.
+    Index.delete); it defaults to zeros. precision="bf16" is the rounded
+    hi-only serving mode (see _sharded_linscan).
     """
     Q = np.asarray(Q)
     if R is not None:
         Q = Q @ np.asarray(R)
     return _sharded_linscan(mesh, B, Q, C_sub, pq_query_luts, extra, k,
                             query_chunk=query_chunk, block=block,
-                            method=method, axis=axis)
+                            method=method, axis=axis, precision=precision)
 
 
 def sharded_linscan_lsq(
@@ -312,14 +344,17 @@ def sharded_linscan_lsq(
     block: int = 1 << 15,
     method: str = "auto",
     axis: str = DATA_AXIS,
+    precision: str = "f32",
 ) -> KNNResult:
     """Multi-chip additive-code scanner (LSQ/ChainQ + quantized norms).
 
-    Pass R to rotate queries into the code space first (ChainQ)."""
+    Pass R to rotate queries into the code space first (ChainQ).
+    precision="bf16" is the rounded hi-only serving mode (see
+    _sharded_linscan)."""
     Q = np.asarray(Q)
     if R is not None:
         Q = Q @ np.asarray(R)
     return _sharded_linscan(mesh, B, Q, C, lsq_query_luts,
                             np.asarray(db_norms, np.float32), k,
                             query_chunk=query_chunk, block=block,
-                            method=method, axis=axis)
+                            method=method, axis=axis, precision=precision)

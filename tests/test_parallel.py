@@ -101,6 +101,41 @@ def test_sharded_query_matches_single_chip(rng, mesh):
     # ids may differ on exact ties; distances must agree.
 
 
+def test_sharded_query_bf16_precision_matches_rounded_oracle(rng, mesh):
+    """precision='bf16' on the mesh route: _sharded_linscan rounds the
+    LUTs ONCE at the driver, so the kernel and streaming shard scans
+    return the exact lexicographic top-k of the bf16-rounded metric —
+    id-for-id against an f64 oracle over the same rounded tables, and
+    id-for-id against the single-chip bf16 route."""
+    n, nq, d, m, h = 2048, 8, 8, 3, 8
+    C = (rng.normal(size=(m, h, d))).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    k = 20
+    luts = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C))
+    rl = np.asarray(jnp.asarray(luts).astype(jnp.bfloat16).astype(
+        jnp.float32), np.float64)
+    assert np.any(rl != np.asarray(luts)), "rounding must actually bite"
+    full_r = rl[:, np.arange(m)[:, None], B.T].sum(1) + dbn[None, :]
+    oracle_ids = np.lexsort(
+        (np.broadcast_to(np.arange(n), full_r.shape), full_r), axis=1
+    )[:, :k]
+
+    for method in ("scan", "kernel"):
+        multi = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k,
+                                    query_chunk=8, block=256, method=method,
+                                    precision="bf16")
+        np.testing.assert_array_equal(np.asarray(multi.ids), oracle_ids)
+    single = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn, k=k, query_chunk=8,
+                             base_block=256, precision="bf16")
+    np.testing.assert_array_equal(np.asarray(single.ids), oracle_ids)
+    with pytest.raises(ValueError, match="precision"):
+        sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k,
+                            precision="fp8")
+
+
 def test_sharded_query_empty_and_custom_axis(rng):
     """nq=0 returns an empty KNNResult (no concatenate crash), and the
     drivers honor a custom mesh axis name end-to-end."""
