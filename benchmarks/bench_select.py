@@ -32,13 +32,13 @@ def main():
         scan_topk_warm,
     )
 
-    import os as _os
+    import os
 
     n, d, m, h = 1_000_000, 128, 7, 256
     # Code-width override for the 128-bit geometries (m*h=3840/4096),
     # e.g. LSQ_TPU_SELECT_SHAPE=15,256 — the kernel consumes [m*h]-shaped
     # LUTs + [m, n] codes, so d stays fixed.
-    shape_env = _os.environ.get("LSQ_TPU_SELECT_SHAPE", "")
+    shape_env = os.environ.get("LSQ_TPU_SELECT_SHAPE", "")
     if shape_env:
         m, h = (int(x) for x in shape_env.split(","))
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
@@ -63,8 +63,6 @@ def main():
             _ = np.asarray(d_[:1, :1])  # force the chain, tiny fetch
             best = min(best, time.perf_counter() - t0)
         return nq / best
-
-    import os
 
     variants = os.environ.get("LSQ_TPU_SELECT_VARIANTS", "sorted").split(",")
     # Explicit query-block sweep (e.g. LSQ_TPU_SELECT_NQTS=128,256,512 for

@@ -177,6 +177,13 @@ class Index:
             raise ValueError(
                 f"sr={sr!r} is an LSQ training knob (LSQConfig.sr_method); "
                 f"method={method!r} has no stochastic-relaxation stage")
+        if sr_scale != 1.0 and sr == "none":
+            # Same silent-no-op class as sr-with-wrong-method: a sweep
+            # over sr_scale that forgets sr= would train identical plain
+            # LSQ models with no error and no meta stamp.
+            raise ValueError(
+                f"sr_scale={sr_scale} has no effect with sr='none' — "
+                "pass sr='SR-C' or sr='SR-D'")
         additive = method in ("chainq", "lsq", "rvq")
         if m is None:
             m = 7 if additive else 8

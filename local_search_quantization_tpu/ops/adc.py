@@ -349,6 +349,19 @@ def _scan_topk_tournament(
     return KNNResult(d, ids)
 
 
+def pad_rerun_idx(tq: np.ndarray) -> np.ndarray:
+    """Pad a tie-rerun query-index vector to a power-of-two length >= 8
+    by repeating its first index. The rerun's leading dim is otherwise
+    data-dependent (the number of certificate-failing queries), and every
+    DISTINCT count is a fresh jitted shape — ~1-15 min of remote XLA
+    compile each on this backend (CLAUDE.md: minimize distinct
+    compilations). Bucketing bounds the family to log2(nq) shapes.
+    Duplicate rows recompute the first tied query redundantly; callers
+    scatter back only the first len(tq) rows."""
+    size = 1 << max(3, int(len(tq) - 1).bit_length())
+    return np.concatenate([tq, np.full(size - len(tq), tq[0], tq.dtype)])
+
+
 def _run_scan(
     luts_fn,
     Q,
@@ -393,15 +406,17 @@ def _run_scan(
         raise ValueError(f"precision must be 'f32' or 'bf16', got "
                          f"{precision!r}")
     if precision == "bf16":
+        from local_search_quantization_tpu.ops.select_pallas import (
+            round_bf16,
+        )
+
         inner_luts_fn = luts_fn
 
         def luts_fn(q):
-            # The barrier keeps XLA's excess-precision pass from holding
-            # the bf16 cast in f32 (CLAUDE.md: silently degrades hi/lo
-            # splits; here it would silently UN-round the tables).
-            return jax.lax.optimization_barrier(
-                inner_luts_fn(q).astype(jnp.bfloat16)
-            ).astype(jnp.float32)
+            # round_bf16's barrier keeps XLA's excess-precision pass from
+            # holding the cast in f32 (it would silently UN-round the
+            # tables ON TPU ONLY — see its docstring).
+            return round_bf16(inner_luts_fn(q)).astype(jnp.float32)
 
     Q = np.asarray(Q)
     B = np.asarray(B)
@@ -553,10 +568,10 @@ def _run_scan(
             select_geometry,
         )
 
-        # mh uses the 128-lane-padded h (fused_scan_topk pads internally):
-        # the geometry must see the width the kernel actually allocates.
-        mh = luts.shape[1] * (-(-luts.shape[2] // 128) * 128)
-        variant, tb, nqt = select_geometry(k, n=Bj.shape[1], mh=mh)
+        # (m, h) raw: select_geometry applies fused_scan_topk's 128-lane
+        # h padding itself so its VMEM model sees the kernel's true width.
+        variant, tb, nqt = select_geometry(
+            k, n=Bj.shape[1], m=luts.shape[1], h=luts.shape[2])
         # Deep-k boundary-tie certificate (two-phase lex contract): the
         # replace-worst flavors keep a VALUE-strict threshold, so which
         # ids survive a tie block straddling the k-th value is
@@ -609,12 +624,18 @@ def _run_scan(
                 )
 
                 tq = np.flatnonzero(tied)
+                # Bucket the rerun's leading dim (pad_rerun_idx) and slice
+                # LUTs on device: a host round-trip of the whole LUT array
+                # costs ~35 ms RPC floor + the re-upload for nothing.
+                tqp = jnp.asarray(pad_rerun_idx(tq))
                 d2, i2 = fused_scan_topk(
-                    jnp.asarray(np.asarray(luts)[tq]), Bj, extra_arr, k=k,
+                    jnp.take(luts, tqp, axis=0), Bj, extra_arr, k=k,
                     tb=tb, nqt=None, interpret=interp, variant="grouped",
                     precision=precision,
                 )
-                d_np[tq], i_np[tq] = jax.device_get((d2, i2))
+                d2_np, i2_np = jax.device_get((d2, i2))
+                d_np[tq] = d2_np[: len(tq)]
+                i_np[tq] = i2_np[: len(tq)]
         return KNNResult(d_np, i_np)
 
     # Dispatch ALL chunks asynchronously (JAX queues them back-to-back on
@@ -659,12 +680,15 @@ def _run_scan(
         if not t.any():
             continue
         tq = np.flatnonzero(t)
-        fix = _scan_topk(jnp.take(work[1], jnp.asarray(tq), axis=0), Bj,
+        # Bucketed leading dim (pad_rerun_idx): one compiled shape per
+        # power-of-two tied-count instead of one per distinct count.
+        tqp = jnp.asarray(pad_rerun_idx(tq))
+        fix = _scan_topk(jnp.take(work[1], tqp, axis=0), Bj,
                          extraj, k, base_block, mode=mode,
                          topk_method="exact")
         out_d[ci], out_i[ci] = out_d[ci].copy(), out_i[ci].copy()
-        out_d[ci][tq] = np.asarray(fix.dists)
-        out_i[ci][tq] = np.asarray(fix.ids)
+        out_d[ci][tq] = np.asarray(fix.dists)[: len(tq)]
+        out_i[ci][tq] = np.asarray(fix.ids)[: len(tq)]
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
 
 

@@ -561,6 +561,18 @@ def _split_hi_lo(x: Array) -> tuple[Array, Array]:
     return hi, lo
 
 
+def round_bf16(x: Array) -> Array:
+    """Round to bf16 ONCE, materialized — the serving fast-mode metric.
+
+    The single home for the barrier idiom (shared by ops/adc and
+    parallel/query): under --xla_allow_excess_precision=true XLA keeps a
+    bare bf16 cast in excess f32 precision ON TPU ONLY, silently
+    UN-rounding the tables (CPU/interpret tests cannot see it — the same
+    failure class _split_hi_lo documents). Callers wanting the rounded
+    values back in f32 add .astype(jnp.float32)."""
+    return jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
+
+
 def _pick_nqt(nq: int) -> int:
     """Query-block rows: one big block minimizes extraction iterations
     (sum over tiles of max-over-queries hit counts — measured 3,828 qps at
@@ -598,7 +610,8 @@ def _rerank_ids(luts_flat: Array, Bt: Array, extra: Array, ids: Array,
     return jnp.where(ids < 0, jnp.inf, exact)
 
 
-def select_geometry(k: int, n: int | None = None, mh: int | None = None):
+def select_geometry(k: int, n: int | None = None, mh: int | None = None,
+                    *, m: int | None = None, h: int | None = None):
     """Measured-optimal (variant, tb, nqt) for the fused select kernel.
 
     The single source of truth for the default kernel geometry, shared by
@@ -627,6 +640,12 @@ def select_geometry(k: int, n: int | None = None, mh: int | None = None):
     n (optional) caps tb at the padded problem size so interpret-mode
     tests over tiny bases don't pay 8192-wide padding.
 
+    Prefer passing (m, h) — the raw LUT dims, luts.shape[1:3] — and let
+    this function apply fused_scan_topk's 128-lane h padding itself, so
+    the VMEM model and the kernel's allocation can never diverge across
+    callers. mh (the pre-padded flat width) stays accepted for direct
+    sweeps/tests.
+
     mh (optional) is the flat LUT width m*h (h after 128-lane padding):
     the kernel's tile-side VMEM scales with tb*mh (the [m*h, tb] bf16
     one-hot, tb*mh*2 bytes). Measured on the v5e at the 128-bit widths
@@ -645,6 +664,10 @@ def select_geometry(k: int, n: int | None = None, mh: int | None = None):
     """
     import os as _os
 
+    if m is not None or h is not None:
+        if m is None or h is None or mh is not None:
+            raise ValueError("pass (m, h) together, and not with mh")
+        mh = m * (-(-h // 128) * 128)
     if k > 2048:
         variant, tb, nqt = "grouped_unsorted", 8192, 256
         if mh is not None and mh > 2048:
@@ -830,10 +853,8 @@ def fused_scan_topk(
 
     flat = luts.reshape(nqp, m * h)
     if hi_only:
-        # bf16 serving mode: round ONCE (the barrier stops XLA's
-        # excess-precision pass from keeping the cast in f32 — see
-        # _split_hi_lo); no lo residual exists in this mode.
-        hi = jax.lax.optimization_barrier(flat.astype(jnp.bfloat16))
+        # bf16 serving mode: round ONCE; no lo residual exists here.
+        hi = round_bf16(flat)
         lo = None
     else:
         hi, lo = _split_hi_lo(flat)

@@ -107,9 +107,11 @@ def sharded_scan_topk(
         # Same tuned geometry as the single-chip route (ops/adc.py),
         # via the shared select_geometry (grouped fold-pyramid
         # extraction; BASELINE.md "grouped variant" sweep). One
-        # geometry across both paths = one compiled kernel shape.
-        mh = luts.shape[1] * (-(-luts.shape[2] // 128) * 128)
-        variant, tb, nqt = select_geometry(kk, n=shard_n, mh=mh)
+        # geometry across both paths = one compiled kernel shape;
+        # (m, h) raw — select_geometry applies the kernel's 128-lane
+        # h padding itself.
+        variant, tb, nqt = select_geometry(
+            kk, n=shard_n, m=luts.shape[1], h=luts.shape[2])
         if _force_variant is not None:
             variant, nqt = _force_variant, None
         # kk == shard_n needs no widen: the buffer admits every shard row.
@@ -193,16 +195,21 @@ def sharded_scan_topk(
     if tied is not None:
         tied_np = np.asarray(tied)
         if tied_np.any():
+            from local_search_quantization_tpu.ops.adc import pad_rerun_idx
+
             tq = np.flatnonzero(tied_np)
+            # Bucketed leading dim (ops/adc.pad_rerun_idx): one compiled
+            # rerun shape per power-of-two tied-count, not per count.
+            tqp = jnp.asarray(pad_rerun_idx(tq))
             fix = sharded_scan_topk(
-                mesh, jnp.take(jnp.asarray(luts), jnp.asarray(tq), axis=0),
+                mesh, jnp.take(jnp.asarray(luts), tqp, axis=0),
                 Bt, extra, k, block=block, axis=axis, method="kernel",
                 precision=precision, _force_variant="grouped",
             )
             d_np = np.asarray(merged.dists).copy()
             i_np = np.asarray(merged.ids).copy()
-            d_np[tq] = np.asarray(fix.dists)
-            i_np[tq] = np.asarray(fix.ids)
+            d_np[tq] = np.asarray(fix.dists)[: len(tq)]
+            i_np[tq] = np.asarray(fix.ids)[: len(tq)]
             return KNNResult(d_np, i_np)
     return merged
 
@@ -264,11 +271,13 @@ def _sharded_linscan(
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(replicated(mesh, jnp.asarray(qc)), Cr)
         if precision == "bf16":
-            # The barrier stops XLA's excess-precision pass from keeping
-            # the cast in f32 (CLAUDE.md: it silently un-rounds casts on
-            # TPU under --xla_allow_excess_precision).
-            luts = jax.lax.optimization_barrier(
-                luts.astype(jnp.bfloat16)).astype(jnp.float32)
+            from local_search_quantization_tpu.ops.select_pallas import (
+                round_bf16,
+            )
+
+            # round_bf16's barrier stops XLA's excess-precision pass from
+            # silently un-rounding the cast on TPU (see its docstring).
+            luts = round_bf16(luts).astype(jnp.float32)
         res, tied = sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
                                       method=method, axis=axis, deferred=True,
                                       precision=precision)
@@ -290,14 +299,18 @@ def _sharded_linscan(
         if not t.any():
             continue
         tq = np.flatnonzero(t)
+        from local_search_quantization_tpu.ops.adc import pad_rerun_idx
+
+        # Bucketed leading dim: see sharded_scan_topk's rerun site.
+        tqp = jnp.asarray(pad_rerun_idx(tq))
         fix = sharded_scan_topk(
-            mesh, jnp.take(work[1], jnp.asarray(tq), axis=0), Bs, es, k,
+            mesh, jnp.take(work[1], tqp, axis=0), Bs, es, k,
             block=block, axis=axis, method="kernel",
             precision=precision, _force_variant="grouped",
         )
         out_d[ci], out_i[ci] = out_d[ci].copy(), out_i[ci].copy()
-        out_d[ci][tq] = np.asarray(fix.dists)
-        out_i[ci][tq] = np.asarray(fix.ids)
+        out_d[ci][tq] = np.asarray(fix.dists)[: len(tq)]
+        out_i[ci][tq] = np.asarray(fix.ids)[: len(tq)]
     return KNNResult(np.concatenate(out_d), np.concatenate(out_i))
 
 

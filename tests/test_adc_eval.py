@@ -679,6 +679,17 @@ def test_select_geometry_defaults(monkeypatch):
     assert select_geometry(1000, mh=8192) == ("grouped", 4096, None)
     assert select_geometry(10000, mh=1792) == ("grouped_unsorted", 8192, 256)
     assert select_geometry(10000, mh=4096) == ("grouped_unsorted", 8192, 128)
+    # The (m, h) form applies the kernel's 128-lane h padding itself —
+    # the form both query routes use, so their VMEM model can't diverge
+    # from the kernel's allocation; mixing forms is an error.
+    assert select_geometry(1000, m=7, h=256) == select_geometry(1000, mh=1792)
+    assert select_geometry(10000, m=16, h=256) == select_geometry(
+        10000, mh=4096)
+    assert select_geometry(1000, m=7, h=20) == select_geometry(1000, mh=896)
+    with pytest.raises(ValueError, match="together"):
+        select_geometry(1000, mh=1792, m=7, h=256)
+    with pytest.raises(ValueError, match="together"):
+        select_geometry(1000, m=7)
     # Env overrides (tuning sweeps) win over the measured defaults.
     monkeypatch.setenv("LSQ_TPU_SELECT_VARIANT", "sorted")
     monkeypatch.setenv("LSQ_TPU_SELECT_TB", "2048")
@@ -693,3 +704,18 @@ def test_select_geometry_defaults(monkeypatch):
     monkeypatch.setenv("LSQ_TPU_SELECT_TB", "64")
     with pytest.raises(ValueError, match="power of two"):
         select_geometry(1000)
+
+
+def test_pad_rerun_idx_buckets_shapes():
+    """Every tie-rerun site feeds a data-dependent number of tied queries
+    into a jitted scan; pad_rerun_idx must bucket that leading dim to a
+    power of two >= 8 (each DISTINCT count would otherwise be a fresh
+    multi-minute remote compile) while keeping the original indices as a
+    prefix so callers can scatter back the first len(tq) rows."""
+    for count in (1, 2, 7, 8, 9, 129, 1000):
+        tq = np.arange(count, dtype=np.int64) * 3
+        p = adc.pad_rerun_idx(tq)
+        assert len(p) >= max(8, count)
+        assert (len(p) & (len(p) - 1)) == 0  # power of two
+        np.testing.assert_array_equal(p[:count], tq)
+        assert (p[count:] == tq[0]).all()  # pads are a real, valid query

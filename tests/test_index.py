@@ -122,6 +122,11 @@ def test_index_build_sr_production_path(tmp_path, data):
         Index.build(data.train, data.base[:50], "pq", m=2, h=16, sr="SR-C")
     with pytest.raises(ValueError, match="sr must be"):
         Index.build(data.train, data.base[:50], "lsq", m=2, h=16, sr="src")
+    # sr_scale without sr is the same silent-no-op class: an sr_scale
+    # sweep that forgets sr= would train identical plain-LSQ models.
+    with pytest.raises(ValueError, match="sr_scale"):
+        Index.build(data.train, data.base[:50], "lsq", m=2, h=16,
+                    sr_scale=0.5)
 
 
 def test_index_search_bf16_precision(data):

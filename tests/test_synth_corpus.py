@@ -131,6 +131,7 @@ def test_corpus_fingerprint_matches_committed_artifacts():
     assert fp == "v5-c46d0184714f7c20"
     root = os.path.join(os.path.dirname(__file__), "..")
     for name in ("recall_table_paperscale.json",
+                 "recall_table_paperscale_128.json",
                  "recall_table_midscale_v5.json",
                  "recall_table_src.json", "recall_table_srd.json"):
         p = os.path.join(root, name)
