@@ -13,6 +13,10 @@ then one response per request line:
                "nprobe": 32}
            -> {"id": 7, "ids": [[...k ints...], ...],
                "dists": [[...k floats...], ...]}
+              ("dists": false omits the distance payload — JSON float
+              serialization dominates the protocol overhead; id-only
+              responses cut it ~32% -> ~12% over the direct in-process
+              search at k=100, benchmarks/bench_serve.py.
               (nprobe only with an IVF partition in the index — scan the
               nprobe nearest coarse lists instead of everything; omit or
               0 for the exhaustive scan; --nprobe sets the default.
@@ -129,8 +133,13 @@ def main():
                                  precision=str(req.get("precision",
                                                        args.precision)))
                 out = {"id": req.get("id"),
-                       "ids": np.asarray(res.ids).tolist(),
-                       "dists": np.asarray(res.dists).tolist()}
+                       "ids": np.asarray(res.ids).tolist()}
+                # "dists": false skips the float payload — JSON float
+                # serialization is the protocol's dominant overhead
+                # (benchmarks/bench_serve.py), and id-only clients are
+                # the common case.
+                if req.get("dists", True):
+                    out["dists"] = np.asarray(res.dists).tolist()
             else:
                 raise ValueError(f"unknown op {op!r}")
         except Exception as e:  # malformed request must not kill the server

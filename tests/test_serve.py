@@ -98,10 +98,14 @@ def test_build_and_serve(tmp_path, method, rng):
                                   "precision": "bf16"}) + "\n")
         p.stdin.write(json.dumps({"id": 13, "vectors": q[:1].tolist(),
                                   "precision": "fp8"}) + "\n")
+        # "dists": false — the id-only fast response (same ids, no float
+        # payload; benchmarks/bench_serve.py pins the overhead win).
+        p.stdin.write(json.dumps({"id": 14, "vectors": q.tolist(),
+                                  "dists": False}) + "\n")
         p.stdin.write("EOF\n")
         p.stdin.flush()
-        (r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13) = (
-            json.loads(p.stdout.readline()) for _ in range(13))
+        (r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11, r12, r13, r14) = (
+            json.loads(p.stdout.readline()) for _ in range(14))
     finally:
         p.stdin.close()
         assert p.wait(timeout=60) == 0
@@ -130,6 +134,9 @@ def test_build_and_serve(tmp_path, method, rng):
                        for a, b in zip(r12["ids"], r1["ids"])])
     assert overlap >= 0.6, (r12["ids"], r1["ids"])
     assert "error" in r13 and "precision" in r13["error"]
+    # id-only response: ids present and valid, float payload omitted.
+    assert np.shape(r14["ids"]) == (3, 5) and "dists" not in r14
+    assert 1500 not in np.asarray(r14["ids"]).ravel()  # tombstone holds
 
     # The saved index must reload with the insert AND the tombstone intact.
     p2 = subprocess.Popen(
