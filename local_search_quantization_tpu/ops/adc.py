@@ -344,7 +344,22 @@ def _scan_topk_tournament(
     d, ids = jax.lax.sort((d, ids), dimension=1, num_keys=2)
     if certify:
         fin = jnp.isfinite(d[:, k - 1])
-        tied = fin & ((d[:, k - 1] == d[:, k]) | (d[:, k - 1] >= tprime))
+        if store_dists:
+            # Candidate dists came from the same matmul tiles as tprime:
+            # the boundary compare is same-metric, so strict >= is exact.
+            at_bound = d[:, k - 1] >= tprime
+        else:
+            # Recompute mode sums LUT entries per candidate in a different
+            # f32 accumulation order than the matmul that produced tprime
+            # (gather-and-sum vs lut_scan_block), so an ulp-level
+            # divergence at the boundary could evade the flag. Pad the
+            # certificate with relative slack well above the measured
+            # cross-metric spread (matmul path <= ~1e-5 rel vs f64,
+            # BASELINE.md precision audit; m-term f32 sums ~1e-6) — a
+            # false flag only costs that query a lex-exact rerun.
+            scale = jnp.maximum(jnp.abs(d[:, k - 1]), jnp.abs(tprime))
+            at_bound = d[:, k - 1] >= tprime - 3e-5 * scale
+        tied = fin & ((d[:, k - 1] == d[:, k]) | at_bound)
         return KNNResult(d[:, :k], ids[:, :k]), tied
     return KNNResult(d, ids)
 
@@ -357,7 +372,13 @@ def pad_rerun_idx(tq: np.ndarray) -> np.ndarray:
     compile each on this backend (CLAUDE.md: minimize distinct
     compilations). Bucketing bounds the family to log2(nq) shapes.
     Duplicate rows recompute the first tied query redundantly; callers
-    scatter back only the first len(tq) rows."""
+    scatter back only the first len(tq) rows.
+
+    `tq` must be NONEMPTY (there is no first index to pad with); callers
+    gate on `.any()` before building the rerun batch."""
+    if len(tq) == 0:
+        raise ValueError("pad_rerun_idx needs a nonempty index vector "
+                         "(gate the rerun on tied.any() first)")
     size = 1 << max(3, int(len(tq) - 1).bit_length())
     return np.concatenate([tq, np.full(size - len(tq), tq[0], tq.dtype)])
 
@@ -666,6 +687,13 @@ def _run_scan(
                                  "tournament", "twopass") else topk_method)
         results.append(res)
         valid.append(query_chunk - npad)
+        # The stashed LUT device buffers live until the post-fetch tie
+        # pass below — O(total_nq * m * h) HBM (~7 KB/query at m=7,
+        # h=256) on the tournament route, vs freed-per-chunk before the
+        # deferred tie contract. Dropping a chunk's LUTs early would
+        # require syncing its tied mask per chunk (~35 ms RPC each on
+        # this backend), defeating dispatch-all-then-fetch; the bound is
+        # accepted and tiny relative to the [nq, n] scan itself.
         tie_work.append((tied, luts) if tied is not None else None)
     out_d = [np.asarray(r.dists)[:v] for r, v in zip(results, valid)]
     out_i = [np.asarray(r.ids)[:v] for r, v in zip(results, valid)]

@@ -1035,6 +1035,10 @@ def scan_topk_warm(
     bool instead of syncing on it here — callers that fetch the results
     anyway (e.g. adc._run_scan) check it at their own fetch boundary and
     rerun cold iff set, saving one ~35 ms host round-trip per query block.
+    The NON-deferred form syncs on `bad` inside this call (one host
+    round-trip per invocation, ~35 ms floor on a tunneled backend, before
+    the caller's own result fetch) — fine for one-shot use; anything
+    driving many blocks should pass deferred=True like _run_scan does.
 
     precision="bf16" (see fused_scan_topk) applies to the pre-scan, the
     main scan, and the cold fallback alike, so the warm bound, the

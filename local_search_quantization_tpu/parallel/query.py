@@ -74,17 +74,27 @@ def sharded_scan_topk(
     the bulk fetch.
 
     precision="bf16" is the serving fast mode (ops/select_pallas.
-    fused_scan_topk): the kernel route scans hi-only over bf16-rounded
-    LUTs — the kernel itself performs the rounding, so callers may pass
-    f32 LUTs. The streaming "scan" route does NOT round here; callers
-    wanting cross-method metric consistency round the LUTs once at the
-    driver (_sharded_linscan does). The widen/tie certificate and the
-    grouped rerun stay in the same rounded metric, so the lex contract
-    is preserved in this mode too.
+    fused_scan_topk): the LUTs are rounded to bf16 HERE (idempotent —
+    the chunked driver _sharded_linscan already rounds once), so BOTH
+    the kernel route (which scans hi-only) and the streaming "scan"
+    route see the same rounded metric even when this function is called
+    directly. The widen/tie certificate and the grouped rerun stay in
+    the same rounded metric, so the lex contract is preserved in this
+    mode too.
     """
     if precision not in ("f32", "bf16"):
         raise ValueError(f"precision must be 'f32' or 'bf16', got "
                          f"{precision!r}")
+    if precision == "bf16":
+        from local_search_quantization_tpu.ops.select_pallas import (
+            round_bf16,
+        )
+
+        # Round at this boundary so a DIRECT method="scan" caller gets
+        # the rounded metric its precision label promises (the kernel
+        # route re-rounds internally — idempotent; round_bf16's barrier
+        # defeats XLA's excess-precision un-rounding on TPU).
+        luts = round_bf16(luts).astype(jnp.float32)
     nshards = mesh.shape[axis]
     shard_n = Bt.shape[1] // nshards
     on_tpu = mesh_platform(mesh) == "tpu"  # NOT jax.default_backend():

@@ -719,3 +719,7 @@ def test_pad_rerun_idx_buckets_shapes():
         assert (len(p) & (len(p) - 1)) == 0  # power of two
         np.testing.assert_array_equal(p[:count], tq)
         assert (p[count:] == tq[0]).all()  # pads are a real, valid query
+    # Empty input has no first index to pad with; the precondition is an
+    # explicit error, not an IndexError (callers gate on tied.any()).
+    with pytest.raises(ValueError, match="nonempty"):
+        adc.pad_rerun_idx(np.empty(0, np.int64))

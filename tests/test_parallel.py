@@ -135,6 +135,25 @@ def test_sharded_query_bf16_precision_matches_rounded_oracle(rng, mesh):
         sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, k,
                             precision="fp8")
 
+    # A DIRECT sharded_scan_topk(method="scan", precision="bf16") call
+    # (bypassing the _sharded_linscan driver that rounds) must round the
+    # LUTs itself — a direct caller previously got f32-metric results
+    # labeled bf16 (advisor r4).
+    from local_search_quantization_tpu.parallel.mesh import (
+        replicated, shard_cols,
+    )
+    from local_search_quantization_tpu.parallel.query import (
+        sharded_scan_topk,
+    )
+
+    Bs = shard_cols(mesh, jnp.asarray(np.ascontiguousarray(B.T)))
+    es = shard_cols(mesh, jnp.asarray(dbn))
+    direct = sharded_scan_topk(
+        mesh, replicated(mesh, jnp.asarray(luts)), Bs, es, k,
+        block=256, method="scan", precision="bf16",
+    )
+    np.testing.assert_array_equal(np.asarray(direct.ids), oracle_ids)
+
 
 def test_sharded_query_empty_and_custom_axis(rng):
     """nq=0 returns an empty KNNResult (no concatenate crash), and the
