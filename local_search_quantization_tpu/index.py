@@ -31,6 +31,16 @@ from local_search_quantization_tpu.utils import checkpoint as ckpt
 _METHODS = ("pq", "opq", "chainq", "lsq", "rvq")
 
 
+def _scan_cache_enabled(n: int) -> bool:
+    """Device-code scan cache gate: TPU backend (the CPU route serves from
+    host RAM via the native scanner) and below the streaming segment bound
+    (adc.prepare_device_codes contract). Module-level so tests can stub
+    it to exercise the cache lifecycle off-TPU."""
+    import jax
+
+    return jax.default_backend() == "tpu" and n <= (1 << 26)
+
+
 class Index:
     """A frozen quantizer model + mutable codes, searchable and persistable.
 
@@ -62,6 +72,11 @@ class Index:
         self._tomb_buf = (np.zeros(self._num, bool) if tomb is None
                           else np.asarray(tomb, bool).copy())
         self._extra_buf = None  # pq/opq tombstone carrier, built lazily
+        # Device-side scan cache bookkeeping: bumped on every mutation of
+        # the codes/extra term so _device_scan_state can reuse the
+        # uploaded transposed codes across searches (serving hot path).
+        self._scan_ver = 0
+        self._scan_cache = None
         if self.additive:
             if bnorm is None:
                 raise ValueError(f"{method} needs bnorm norm codes")
@@ -125,6 +140,7 @@ class Index:
         elif self._extra_buf is not None:
             self._extra_buf[n0:need] = 0.0
         self._num = need
+        self._scan_ver += 1
         return n0
 
     # -- construction ------------------------------------------------------
@@ -528,6 +544,27 @@ class Index:
             tail.ids >= 0, tail.ids + t0, tail.ids))
         return ivf_mod.merge_knn(res, tail, k)
 
+    def _device_scan_state(self):
+        """Cached pre-uploaded device codes for the TPU scan route.
+
+        Serving hot path: a 1M-row index is ~32 MB of transposed codes —
+        re-uploading that per request dominated the request cost through
+        any real interconnect. The cache key is `_scan_ver`, bumped by
+        every code/extra mutation (add/delete/compact), so a stale upload
+        can never serve a query. TPU-only (the CPU route serves via the
+        native scanner over host RAM) and only below the streaming
+        segment bound (adc.prepare_device_codes contract).
+        """
+        if not _scan_cache_enabled(self.n):
+            return None
+        cached = self._scan_cache
+        if cached is not None and cached[0] == self._scan_ver:
+            return cached[1]
+        extra = self._dbn if self.additive else self._extra
+        state = adc.prepare_device_codes(self.B, extra)
+        self._scan_cache = (self._scan_ver, state)
+        return state
+
     def search(self, Q, k: int = 100, *, mesh=None,
                nprobe: int | None = None,
                refine: int | None = None,
@@ -611,15 +648,18 @@ class Index:
             return pq_mod.sharded_linscan_pq(
                 mesh, B, Q, model.C_sub, k, R=R, extra=self._extra,
                 precision=precision)
+        dev = self._device_scan_state()
         if self.additive:
             R = np.asarray(model.R) if self.method == "chainq" else None
             return adc.linscan_lsq(self.B, Q, model.C, self._dbn, k=k, R=R,
-                                   precision=precision)
+                                   precision=precision, device_state=dev)
         if self.method == "opq":
             return adc.linscan_opq(self.B, Q, model.C_sub, model.R, k=k,
-                                   extra=self._extra, precision=precision)
+                                   extra=self._extra, precision=precision,
+                                   device_state=dev)
         return adc.linscan_pq(self.B, Q, model.C_sub, k=k,
-                              extra=self._extra, precision=precision)
+                              extra=self._extra, precision=precision,
+                              device_state=dev)
 
     def add(self, X) -> list[int]:
         """Encode X with the frozen model and append; returns assigned ids.
@@ -713,6 +753,7 @@ class Index:
             self._extra[ids] = np.inf
         if self.ivf is not None:
             self.ivf.tombstone(ids)  # mirror into the grouped store
+        self._scan_ver += 1
         return int(ids.size)
 
     def compact(self) -> np.ndarray:
@@ -744,4 +785,5 @@ class Index:
         self._num = self._B_buf.shape[0]
         self._tomb_buf = np.zeros(self._num, bool)
         self.meta["n"] = self.n
+        self._scan_ver += 1
         return old_of_new

@@ -383,6 +383,35 @@ def pad_rerun_idx(tq: np.ndarray) -> np.ndarray:
     return np.concatenate([tq, np.full(size - len(tq), tq[0], tq.dtype)])
 
 
+def prepare_device_codes(B, extra=None, *, base_block: int = 1 << 16):
+    """Upload codes ONCE for repeated scans over an unchanged base.
+
+    Returns an opaque `device_state` for _run_scan/linscan_* — the
+    transposed [m, n_padded] device codes plus the (+inf-padded) extra
+    term, exactly as _run_scan would build them per call. A serving
+    process that re-queries the same base pays the (tens of MB) H2D code
+    upload once instead of per request (Index.search caches this; the
+    reference's scanners are in-process over host RAM, Linscan.jl:5-73,
+    so they have no analogous cost to amortize).
+
+    Must be built with the same `base_block` the scan call uses.
+    """
+    B = np.asarray(B)
+    n = B.shape[0]
+    pad = (-n) % base_block
+    if pad:
+        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
+    extra_p = np.asarray(extra, np.float32) if extra is not None else None
+    if pad:
+        if extra_p is None:
+            extra_p = np.zeros(n, np.float32)
+        extra_p = np.concatenate(
+            [extra_p, np.full(pad, np.inf, np.float32)])
+    Bj = jnp.asarray(np.ascontiguousarray(B.T))
+    extraj = jnp.asarray(extra_p) if extra_p is not None else None
+    return Bj, extraj
+
+
 def _run_scan(
     luts_fn,
     Q,
@@ -396,6 +425,7 @@ def _run_scan(
     topk_method: str = "auto",
     base_segment: int = 1 << 26,
     precision: str = "f32",
+    device_state=None,
 ) -> KNNResult:
     """Driver: chunk queries on host, pad base to a block multiple, scan.
 
@@ -443,6 +473,17 @@ def _run_scan(
     B = np.asarray(B)
     n = B.shape[0]
     k = min(k, n)
+    if device_state is not None:
+        exp = n + ((-n) % base_block)
+        if device_state[0].shape[1] != exp:
+            raise ValueError(
+                f"device_state was prepared for a different base/"
+                f"base_block (codes dim {device_state[0].shape[1]}, "
+                f"expected {exp}) — rebuild with prepare_device_codes "
+                f"after any mutation")
+        if n > base_segment:
+            raise ValueError("device_state does not apply to the "
+                             "segmented >base_segment streaming path")
     if n > base_segment:
         parts = []
         for s0 in range(0, n, base_segment):
@@ -546,26 +587,33 @@ def _run_scan(
             # this route all agree id-for-id even on tie-heavy small-h
             # codes (route-parity tests pin this).
             topk_method = "exact"
-    pad = (-n) % base_block
-    if pad:
-        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
-        extra_p = (
-            np.concatenate([np.asarray(extra), np.full(pad, np.inf, np.float32)])
-            if extra is not None
-            else None
-        )
+    if device_state is not None:
+        # Pre-uploaded codes (prepare_device_codes): the serving hot path
+        # skips the per-call pad + H2D transfer entirely.
+        Bj, extraj = device_state
     else:
-        extra_p = np.asarray(extra) if extra is not None else None
-    if extra_p is None and pad:
-        # Padded rows must never win: give them +inf via the extra term.
-        extra_p = np.concatenate(
-            [np.zeros(n, np.float32), np.full(pad, np.inf, np.float32)]
-        )
-    # Device codes are TRANSPOSED [m, n]: the natural [n, m] layout is
-    # lane-padded m -> 128 on TPU HBM (s32[64M, 7] allocates 34 GB), an
-    # 18x capacity tax; [m, n] pads only the sublanes (7 -> 8).
-    Bj = jnp.asarray(np.ascontiguousarray(B.T))
-    extraj = jnp.asarray(extra_p) if extra_p is not None else None
+        pad = (-n) % base_block
+        if pad:
+            B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
+            extra_p = (
+                np.concatenate([np.asarray(extra),
+                                np.full(pad, np.inf, np.float32)])
+                if extra is not None
+                else None
+            )
+        else:
+            extra_p = np.asarray(extra) if extra is not None else None
+        if extra_p is None and pad:
+            # Padded rows must never win: give them +inf via the extra
+            # term.
+            extra_p = np.concatenate(
+                [np.zeros(n, np.float32), np.full(pad, np.inf, np.float32)]
+            )
+        # Device codes are TRANSPOSED [m, n]: the natural [n, m] layout is
+        # lane-padded m -> 128 on TPU HBM (s32[64M, 7] allocates 34 GB), an
+        # 18x capacity tax; [m, n] pads only the sublanes (7 -> 8).
+        Bj = jnp.asarray(np.ascontiguousarray(B.T))
+        extraj = jnp.asarray(extra_p) if extra_p is not None else None
 
     if topk_method == "kernel":
         # Fused Pallas scan+select: the whole query set in one launch

@@ -51,9 +51,9 @@ def recall_oracle(recon64, q64, gt, ns=(1, 10, 100)):
 
 
 def one(mix, noise, alpha, ntrain, nbase, nquery, niter, seed=0, h=256,
-        norm_sigma=0.10):
+        norm_sigma=0.10, d=128):
     t0 = time.time()
-    dd = synthetic_dataset(seed, d=128, n_train=ntrain, n_base=nbase,
+    dd = synthetic_dataset(seed, d=d, n_train=ntrain, n_base=nbase,
                            n_query=nquery, noise=noise, query_alpha=alpha,
                            basis_mix=mix, norm_sigma=norm_sigma)
     q64 = dd.query.astype(np.float64)
@@ -61,12 +61,12 @@ def one(mix, noise, alpha, ntrain, nbase, nquery, niter, seed=0, h=256,
     pq = train_pq(dd.train, PQConfig(m=8, h=h, kmeans_maxiter=niter, seed=seed))
     Bb = np.asarray(quantize_pq(dd.base, pq.C_sub))
     r_pq = recall_oracle(
-        np.asarray(reconstruct_pq(Bb, pq.C_sub, 128)).astype(np.float64),
+        np.asarray(reconstruct_pq(Bb, pq.C_sub, d)).astype(np.float64),
         q64, dd.gt)
 
     opq = train_opq(dd.train, OPQConfig(m=8, h=h, niter=niter, seed=seed))
     Bb = np.asarray(quantize_opq(dd.base, opq.R, opq.C_sub))
-    recon_rot = np.asarray(reconstruct_pq(Bb, opq.C_sub, 128)).astype(np.float64)
+    recon_rot = np.asarray(reconstruct_pq(Bb, opq.C_sub, d)).astype(np.float64)
     r_opq = recall_oracle(recon_rot, q64 @ np.asarray(opq.R, np.float64), dd.gt)
 
     opq7 = train_opq(dd.train, OPQConfig(m=7, h=h, niter=niter, seed=seed))
@@ -97,7 +97,7 @@ def one(mix, noise, alpha, ntrain, nbase, nquery, niter, seed=0, h=256,
         pq=float(pq.error), opq=float(opq.obj[-1]),
         lsq=float(np.mean(enc.milestone_cost[0])))
     hard = mse["lsq"] / sq.mean()  # SIFT1M@64bit sits near ~0.2
-    print(f"[cal] mix={mix} noise={noise} alpha={alpha} ns={norm_sigma} "
+    print(f"[cal] d={d} mix={mix} noise={noise} alpha={alpha} ns={norm_sigma} "
           f"({time.time() - t0:.0f}s)\n"
           f"      mse: PQ={mse['pq']:.0f} OPQ={mse['opq']:.0f} "
           f"LSQ={mse['lsq']:.0f} lsq_mse/sqnorm={hard:.3f}\n"
@@ -117,8 +117,11 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--norm-sigma", type=float, default=0.10,
                     help="v5 sample-norm lognormal sigma; <0 = None (v4 behavior)")
+    ap.add_argument("--d", type=int, default=128,
+                    help="descriptor dimension (960 = the GIST1M shape, "
+                         "read_datasets.jl:22-26)")
     a = ap.parse_args()
     for mix in a.mixes:
         ns = None if a.norm_sigma < 0 else a.norm_sigma
         one(mix, a.noise, a.alpha, a.ntrain, a.nbase, a.nquery, a.niter,
-            seed=a.seed, norm_sigma=ns)
+            seed=a.seed, norm_sigma=ns, d=a.d)

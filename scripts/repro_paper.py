@@ -96,6 +96,10 @@ def main():
                          "deterministic generator makes this sound; at "
                          "paper scale generation + exact gt is ~10+ min "
                          "of CPU per run)")
+    ap.add_argument("--synth-d", type=int, default=128,
+                    help="synthetic-corpus dimension (960 = the GIST1M "
+                         "shape, read_datasets.jl:22-26); only applies "
+                         "when the named dataset is absent")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--scan-mode", default=None, choices=["matmul", "gather"],
                     help="query-scan distance mode; default matmul (MXU). "
@@ -132,9 +136,10 @@ def main():
     milestones = tuple(int(x) for x in args.milestones.split(","))
     synthetic = not (args.dataset != "synthetic" and dataset_available(args.dataset))
     if synthetic:
-        print(f"[repro] {args.dataset} files NOT on disk — falling back to a "
-              "d=128 SIFT-statistics synthetic corpus; ordering assertion "
-              "still applies, absolute recalls are not the paper's.")
+        print(f"[repro] {args.dataset} files NOT on disk — falling back to "
+              f"a d={args.synth_d} SIFT-statistics synthetic corpus; "
+              "ordering assertion still applies, absolute recalls are "
+              "not the paper's.")
         import os
         if args.corpus_cache and os.path.exists(args.corpus_cache):
             z = np.load(args.corpus_cache)
@@ -147,6 +152,11 @@ def main():
                     f"[repro] corpus cache {args.corpus_cache} holds "
                     f"(ntrain, nbase, nquery)={got} but this run requests "
                     f"{exp} — use a fresh cache path")
+            if z["train"].shape[1] != args.synth_d:
+                raise SystemExit(
+                    f"[repro] corpus cache {args.corpus_cache} is "
+                    f"d={z['train'].shape[1]} but this run requests "
+                    f"d={args.synth_d} — use a fresh cache path")
             if "seed" in z and int(z["seed"]) != args.seed:
                 raise SystemExit(
                     f"[repro] corpus cache {args.corpus_cache} was built "
@@ -158,7 +168,7 @@ def main():
             )
         else:
             dd = synthetic_dataset(
-                args.seed, d=128, n_train=args.ntrain,
+                args.seed, d=args.synth_d, n_train=args.ntrain,
                 n_base=min(args.nbase, 1_000_000),
                 n_query=min(args.nquery, 10_000),
             )

@@ -17,6 +17,21 @@ then one response per request line:
               serialization dominates the protocol overhead; id-only
               responses cut it ~32% -> ~12% over the direct in-process
               search at k=100, benchmarks/bench_serve.py.
+
+              BINARY FRAMES (opt-in, per request): instead of "vectors",
+              send "binary_vectors": N and follow the request line
+              immediately with N*d little-endian f32 bytes (row-major).
+              "binary": true asks for a binary response: the server
+              writes a JSON header line
+                  {"id": 7, "nq": N, "k": K,
+                   "binary": {"ids": "<i4", "dists": "<f4"|null}}
+              followed by N*K*4 bytes of <i4 ids, then (unless
+              "dists": false) N*K*4 bytes of <f4 distances. The two
+              flags compose freely with JSON on the other side and with
+              every query option; "add" also accepts "binary_vectors".
+              Rationale: JSON float parse/serialize dominates the
+              protocol overhead (BASELINE.md serving section); the
+              binary frame removes both sides' float text entirely.
               (nprobe only with an IVF partition in the index — scan the
               nprobe nearest coarse lists instead of everything; omit or
               0 for the exhaustive scan; --nprobe sets the default.
@@ -95,19 +110,51 @@ def main():
     if not args.no_warmup:
         idx.search(np.zeros((1, idx.d), np.float32), min(args.k, idx.n))
 
-    print(json.dumps({"ready": True, "method": idx.method, "n": idx.n,
-                      "k": args.k,
-                      "ivf_nlist": idx.ivf.nlist if idx.ivf else None,
-                      "refine": idx.refine.kind if idx.refine else None}),
-          flush=True)
+    stdin = sys.stdin.buffer
+    stdout = sys.stdout.buffer
 
-    for line in sys.stdin:
-        line = line.strip()
+    def emit(obj, blocks=()):
+        stdout.write(json.dumps(obj).encode() + b"\n")
+        for b in blocks:
+            stdout.write(b)
+        stdout.flush()
+
+    def read_exact(nbytes: int) -> bytes:
+        buf = stdin.read(nbytes)
+        if buf is None or len(buf) != nbytes:
+            raise EOFError(
+                f"binary payload truncated "
+                f"({0 if buf is None else len(buf)}/{nbytes} bytes)")
+        return buf
+
+    def parse_vectors(req, frame) -> np.ndarray:
+        if frame is not None:
+            return np.frombuffer(frame, "<f4").reshape(-1, idx.d)
+        return np.asarray(req["vectors"], np.float32)
+
+    emit({"ready": True, "method": idx.method, "n": idx.n,
+          "k": args.k,
+          "ivf_nlist": idx.ivf.nlist if idx.ivf else None,
+          "refine": idx.refine.kind if idx.refine else None})
+
+    while True:
+        raw = stdin.readline()
+        if not raw:
+            break
+        line = raw.decode("utf-8", "replace").strip()
         if not line or line == "EOF":
             break
         req = None  # never attribute errors to the previous request's id
+        blocks = ()
         try:
             req = json.loads(line)
+            # Consume a declared binary frame IMMEDIATELY — before any op
+            # validation can raise — so a bad request (unknown op, wrong
+            # k, ...) never leaves unread payload desynchronizing the
+            # stream.
+            frame = None
+            if req.get("binary_vectors") is not None:
+                frame = read_exact(int(req["binary_vectors"]) * idx.d * 4)
             op = req.get("op", "query")
             if op == "delete":
                 ndel = idx.delete(req["ids"])
@@ -121,10 +168,10 @@ def main():
                 path = idx.save(args.index)
                 out = {"id": req.get("id"), "saved": path, "n": idx.n}
             elif op == "add":
-                added = idx.add(req["vectors"])
+                added = idx.add(parse_vectors(req, frame))
                 out = {"id": req.get("id"), "added": added, "n": idx.n}
             elif op == "query":
-                res = idx.search(req["vectors"],
+                res = idx.search(parse_vectors(req, frame),
                                  int(req.get("k", args.k)),
                                  nprobe=int(req.get("nprobe", args.nprobe))
                                  or None,
@@ -132,20 +179,37 @@ def main():
                                  or None,
                                  precision=str(req.get("precision",
                                                        args.precision)))
-                out = {"id": req.get("id"),
-                       "ids": np.asarray(res.ids).tolist()}
-                # "dists": false skips the float payload — JSON float
-                # serialization is the protocol's dominant overhead
-                # (benchmarks/bench_serve.py), and id-only clients are
-                # the common case.
-                if req.get("dists", True):
-                    out["dists"] = np.asarray(res.dists).tolist()
+                want_dists = bool(req.get("dists", True))
+                if req.get("binary", False):
+                    ids = np.ascontiguousarray(
+                        np.asarray(res.ids).astype("<i4"))
+                    out = {"id": req.get("id"), "nq": int(ids.shape[0]),
+                           "k": int(ids.shape[1]),
+                           "binary": {"ids": "<i4",
+                                      "dists": "<f4" if want_dists
+                                      else None}}
+                    blocks = [ids.tobytes()]
+                    if want_dists:
+                        blocks.append(np.ascontiguousarray(
+                            np.asarray(res.dists).astype("<f4")).tobytes())
+                else:
+                    out = {"id": req.get("id"),
+                           "ids": np.asarray(res.ids).tolist()}
+                    # "dists": false skips the float payload — JSON float
+                    # serialization is the protocol's dominant overhead
+                    # (benchmarks/bench_serve.py), and id-only clients
+                    # are the common case.
+                    if want_dists:
+                        out["dists"] = np.asarray(res.dists).tolist()
             else:
                 raise ValueError(f"unknown op {op!r}")
+        except EOFError:
+            break  # truncated binary frame: the stream cannot resync
         except Exception as e:  # malformed request must not kill the server
             rid = req.get("id") if isinstance(req, dict) else None
             out = {"id": rid, "error": f"{type(e).__name__}: {e}"}
-        print(json.dumps(out), flush=True)
+            blocks = ()
+        emit(out, blocks)
 
 
 if __name__ == "__main__":

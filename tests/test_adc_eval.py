@@ -723,3 +723,32 @@ def test_pad_rerun_idx_buckets_shapes():
     # explicit error, not an IndexError (callers gate on tied.any()).
     with pytest.raises(ValueError, match="nonempty"):
         adc.pad_rerun_idx(np.empty(0, np.int64))
+
+
+def test_run_scan_device_state_matches_fresh_upload(rng):
+    """prepare_device_codes + device_state (the serving-side code cache,
+    Index._device_scan_state) must be result-identical to the per-call
+    upload on both the streaming and kernel routes, and a state built for
+    a different base/base_block must be rejected, not silently scanned."""
+    n, nq, d, m, h = 1000, 6, 8, 2, 8
+    C_sub = (rng.normal(size=(m, h, d // m)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    state = adc.prepare_device_codes(B, None, base_block=256)
+    assert state[0].shape == (m, 1024)  # padded to the block multiple
+    assert bool(jnp.isinf(state[1][n:]).all())  # pads can never win
+    for method in ("exact", "kernel"):
+        fresh = adc.linscan_pq(B, Q, C_sub, k=10, topk_method=method,
+                               base_block=256)
+        cached = adc.linscan_pq(B, Q, C_sub, k=10, topk_method=method,
+                                base_block=256, device_state=state)
+        np.testing.assert_array_equal(np.asarray(cached.ids),
+                                      np.asarray(fresh.ids))
+        np.testing.assert_array_equal(np.asarray(cached.dists),
+                                      np.asarray(fresh.dists))
+    with pytest.raises(ValueError, match="device_state"):
+        adc.linscan_pq(B, Q, C_sub, k=10, base_block=384,
+                       device_state=state)
+    with pytest.raises(ValueError, match="device_state"):
+        adc.linscan_pq(B[:700], Q, C_sub, k=10, base_block=256,
+                       device_state=state)

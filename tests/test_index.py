@@ -155,3 +155,44 @@ def test_index_search_bf16_precision(data):
     idx.build_ivf(nlist=8)
     with pytest.raises(ValueError, match="bf16"):
         idx.search(data.query, k=10, nprobe=2, precision="bf16")
+
+
+def test_index_device_scan_cache_lifecycle(data, monkeypatch):
+    """The device-code scan cache (TPU serving hot path) must be
+    result-transparent and invalidate on every mutation. The gate is
+    stubbed on so the lifecycle runs on the CPU suite; routing inside
+    adc still picks the CPU path, which accepts device_state."""
+    import local_search_quantization_tpu.index as index_mod
+
+    idx = Index.build(data.train, data.base, "pq", m=2, h=16, niter=2,
+                      seed=0)
+    base = idx.search(data.query, k=10)
+
+    monkeypatch.setattr(index_mod, "_scan_cache_enabled", lambda n: True)
+    res1 = idx.search(data.query, k=10)
+    assert idx._scan_cache is not None
+    ver0 = idx._scan_cache[0]
+    np.testing.assert_array_equal(np.asarray(res1.ids), np.asarray(base.ids))
+
+    # Cache reused while unmutated.
+    idx.search(data.query, k=10)
+    assert idx._scan_cache[0] == ver0
+
+    # delete invalidates: the tombstoned row must vanish from results
+    # served through a REBUILT cache, not linger in the stale upload.
+    victim = int(res1.ids[0, 0])
+    idx.delete([victim])
+    res2 = idx.search(data.query, k=10)
+    assert idx._scan_cache[0] != ver0
+    assert victim not in np.asarray(res2.ids)[0]
+
+    # add invalidates and the new rows are searchable.
+    n0 = idx.n
+    idx.add(data.base[:3])
+    res3 = idx.search(data.query, k=idx.n)
+    assert np.asarray(res3.ids).max() >= n0
+
+    # compact invalidates and keeps results sane.
+    idx.compact()
+    res4 = idx.search(data.query, k=10)
+    assert victim != -1 and np.asarray(res4.dists).shape == (8, 10)

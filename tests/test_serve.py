@@ -171,3 +171,69 @@ def test_build_and_serve(tmp_path, method, rng):
         rtol=1e-5, atol=1e-5)
     same = (np.asarray(r1["ids"]) == np.asarray(res.ids)).mean()
     assert same > 0.9  # modulo exact-distance ties
+
+
+def test_serve_binary_frames(tmp_path, rng):
+    """Opt-in binary frames: raw <f4 query payloads in, raw <i4/<f4
+    response blocks out, byte-parity with the JSON responses, and stream
+    resync safety when a framed request fails validation."""
+    idx = _build(tmp_path, "pq")
+    p = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--index", idx, "--k", "5",
+         "--platform", "cpu"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, cwd=REPO,
+    )
+    rd = p.stdout
+    try:
+        assert json.loads(rd.readline())["ready"]
+        q = rng.normal(120, 30, size=(3, 16)).astype("<f4")
+
+        def send(obj, payload=b""):
+            p.stdin.write(json.dumps(obj).encode() + b"\n" + payload)
+            p.stdin.flush()
+
+        # Binary request, JSON response.
+        send({"id": 1, "binary_vectors": 3}, q.tobytes())
+        r1 = json.loads(rd.readline())
+        assert np.shape(r1["ids"]) == (3, 5) and "error" not in r1
+
+        # JSON request, binary response (ids + dists blocks).
+        send({"id": 2, "vectors": q.tolist(), "binary": True})
+        h2 = json.loads(rd.readline())
+        assert h2["binary"] == {"ids": "<i4", "dists": "<f4"}
+        ids2 = np.frombuffer(rd.read(h2["nq"] * h2["k"] * 4),
+                             "<i4").reshape(h2["nq"], h2["k"])
+        d2 = np.frombuffer(rd.read(h2["nq"] * h2["k"] * 4),
+                           "<f4").reshape(h2["nq"], h2["k"])
+        np.testing.assert_array_equal(ids2, np.asarray(r1["ids"]))
+        np.testing.assert_allclose(d2, np.asarray(r1["dists"],
+                                                  np.float32), rtol=1e-6)
+
+        # Binary both ways, id-only.
+        send({"id": 3, "binary_vectors": 3, "binary": True,
+              "dists": False}, q.tobytes())
+        h3 = json.loads(rd.readline())
+        assert h3["binary"]["dists"] is None
+        ids3 = np.frombuffer(rd.read(h3["nq"] * h3["k"] * 4),
+                             "<i4").reshape(h3["nq"], h3["k"])
+        np.testing.assert_array_equal(ids3, ids2)
+
+        # A framed request that FAILS validation (unknown op) must still
+        # consume its payload — the next request parses cleanly.
+        send({"id": 4, "op": "nope", "binary_vectors": 3}, q.tobytes())
+        assert "error" in json.loads(rd.readline())
+        send({"id": 5, "vectors": q[:1].tolist(), "k": 2})
+        r5 = json.loads(rd.readline())
+        assert np.shape(r5["ids"]) == (1, 2), r5
+
+        # Binary add: encodes and appends like the JSON form.
+        xnew = rng.normal(130, 25, size=(2, 16)).astype("<f4")
+        send({"op": "add", "id": 6, "binary_vectors": 2}, xnew.tobytes())
+        r6 = json.loads(rd.readline())
+        assert r6["added"] == [1500, 1501] and r6["n"] == 1502
+
+        p.stdin.write(b"EOF\n")
+        p.stdin.flush()
+    finally:
+        p.stdin.close()
+        assert p.wait(timeout=60) == 0
