@@ -675,6 +675,13 @@ def select_geometry(k: int, n: int | None = None, mh: int | None = None,
     else:
         variant, tb, nqt = "grouped", 8192, None
     if mh is not None:
+        # Validated at the widest measured shape (round 5, m=16 h=512 =
+        # mh=8192, k=1000, nq=2048, 1M codes, warm): this rule's tb=4096
+        # runs at 3,485 qps with the auto query block stepped down by the
+        # kernel's VMEM guard, beating tb=2048 (3,372) and tb=1024
+        # (3,003), while tb=8192 is a measured compile OOM (150M/128M).
+        # EXPLICIT nqt at these widths remains the documented sweep
+        # footgun (nqt=2048 at tb=2048/mh=8192 compiles to 175M).
         while tb > 1024 and tb * mh * 2 > 70 * 2**20:
             tb //= 2
     if n is not None:

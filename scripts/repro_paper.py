@@ -192,6 +192,7 @@ def main():
         "dataset": args.dataset if not synthetic else "synthetic-sift-stats",
         "ntrain": int(x_train.shape[0]), "nbase": int(x_base.shape[0]),
         "nquery": int(x_query.shape[0]), "niter": args.niter,
+        "d": int(x_train.shape[1]),
         "bits": args.bits, "methods": {},
         # Provenance stamps: which backend produced the wall_s columns
         # (CPU walls are not comparable to TPU walls), and — for synthetic

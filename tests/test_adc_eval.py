@@ -676,7 +676,14 @@ def test_select_geometry_defaults(monkeypatch):
     assert select_geometry(1000, mh=2048) == ("grouped", 8192, None)
     assert select_geometry(1000, mh=3840) == ("grouped", 8192, None)
     assert select_geometry(1000, mh=4096) == ("grouped", 8192, None)
+    # mh=8192 (m=16 at h=512): tb=4096 is MEASURED-optimal on-chip
+    # (round-5 wide-LUT row: 3,485 qps warm vs 3,372 at tb=2048 and an
+    # OOM at tb=8192) — the 70 MB tile rule lands exactly there, with
+    # the kernel's auto-nqt guard stepping the query block down.
     assert select_geometry(1000, mh=8192) == ("grouped", 4096, None)
+    assert select_geometry(1000, m=16, h=512) == ("grouped", 4096, None)
+    assert select_geometry(1000, m=15, h=512) == ("grouped", 4096, None)
+    assert select_geometry(1000, mh=4608) == ("grouped", 4096, None)
     assert select_geometry(10000, mh=1792) == ("grouped_unsorted", 8192, 256)
     assert select_geometry(10000, mh=4096) == ("grouped_unsorted", 8192, 128)
     # The (m, h) form applies the kernel's 128-lane h padding itself —
