@@ -94,11 +94,36 @@ def train_norm_codebook(key: Array, B: Array, C: Array, h: int):
 
 
 @jax.jit
-def quantize_norms(B: Array, C: Array, cbnorms: Array) -> Array:
-    """Assign each vector's reconstruction norm to its nearest codebook entry.
-
-    Returns [n] int32 norm codes. (Reference: quantize_norms, utils.jl:6-31.)
-    """
+def _quantize_norms_block(B: Array, C: Array, cbnorms: Array) -> Array:
     sqnorms = reconstruction_sqnorms(B, C)  # [n]
     d2 = (sqnorms[:, None] - cbnorms[None, :]) ** 2
     return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+def quantize_norms(B: Array, C: Array, cbnorms: Array,
+                   *, block: int = 1 << 16) -> Array:
+    """Assign each vector's reconstruction norm to its nearest codebook entry.
+
+    Returns [n] int32 norm codes. (Reference: quantize_norms, utils.jl:6-31.)
+
+    Chunked over rows: the reconstruction intermediate is [n*m, d] —
+    26.8 GB at the GIST paper-scale shape (n=1M, m=7, d=960), a measured
+    HBM OOM when done whole. Fixed-size blocks (last one padded by
+    repeating a row, so every chunk hits ONE compiled shape) bound it at
+    ~1.8 GB while leaving small-n callers on the single-launch path.
+    """
+    n = B.shape[0]
+    if n <= block:
+        return _quantize_norms_block(B, C, cbnorms)
+    outs = []
+    for s in range(0, n, block):
+        blk = B[s:s + block]
+        npad = block - blk.shape[0]
+        if npad:
+            blk = jnp.concatenate(
+                [jnp.asarray(blk),
+                 jnp.broadcast_to(jnp.asarray(blk)[-1:],
+                                  (npad, blk.shape[1]))])
+        out = np.asarray(_quantize_norms_block(jnp.asarray(blk), C, cbnorms))
+        outs.append(out[: block - npad])
+    return jnp.asarray(np.concatenate(outs))

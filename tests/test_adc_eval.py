@@ -759,3 +759,18 @@ def test_run_scan_device_state_matches_fresh_upload(rng):
     with pytest.raises(ValueError, match="device_state"):
         adc.linscan_pq(B[:700], Q, C_sub, k=10, base_block=256,
                        device_state=state)
+
+
+def test_quantize_norms_chunked_matches_single_launch(rng):
+    """quantize_norms row-chunking (the [n*m, d] reconstruction
+    intermediate is a measured 27 GB HBM OOM at the GIST paper-scale
+    shape) must be code-identical to the single-launch path, including
+    a padded final block."""
+    n, d, m, h = 1000, 12, 3, 16
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = jnp.asarray(rng.integers(0, h, size=(n, m), dtype=np.int32))
+    cb = jnp.asarray(np.sort(rng.random(h)).astype(np.float32) * 50.0)
+    whole = np.asarray(norms.quantize_norms(B, jnp.asarray(C), cb))
+    chunked = np.asarray(norms.quantize_norms(B, jnp.asarray(C), cb,
+                                              block=256))
+    np.testing.assert_array_equal(chunked, whole)
