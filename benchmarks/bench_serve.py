@@ -173,7 +173,9 @@ def main():
                             stdout=subprocess.PIPE, cwd=REPO)
     ready = json.loads(proc.stdout.readline())
     assert ready.get("ready"), ready
-    Q = _queries(args.nq)
+    # The index's own dimension (the direct phase uses idx.d likewise) —
+    # a d=960 index must not be pumped with d=128 queries.
+    Q = _queries(args.nq, int(ready.get("d", 128)))
 
     rows = {}
     for mode in ("json", "json-ids", "bin", "bin-ids"):

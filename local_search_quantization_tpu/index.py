@@ -164,7 +164,7 @@ class Index:
         sr: LSQ stochastic relaxation ("none" / "SR-D" / "SR-C"; LSQ++,
         arXiv:1806.05643 — beyond the reference). "SR-C" is the measured
         production-quality recommendation (BASELINE.md: paper-scale r@10
-        0.8347 vs plain 0.8261, past OPQ at r@1); the default stays
+        0.8351 vs plain 0.8285, past OPQ at r@1); the default stays
         "none" for reference parity. lsq-only: training-time only (the
         frozen model serves identically), but other methods don't have
         the knob, so passing it with them is an error rather than a

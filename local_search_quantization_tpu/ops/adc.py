@@ -254,6 +254,18 @@ def _scan_topk_tournament(
     _run_scan through the lex-exact streaming merge. This mirrors the
     select kernel's two-phase widen (BASELINE.md deep-k tie contract),
     so every scan route now shares one (dist, id) contract.
+
+    Metric scoping of the certificate: in store mode (the default) the
+    candidate distances come from the same matmul tiles as T', so both
+    checks are same-metric and strict — zero-slack cross-route id
+    parity. In recompute mode the candidates are gather-summed in a
+    different f32 accumulation order than the matmul that produced T',
+    so the boundary check carries a deliberately conservative
+    summand-magnitude slack (advisor r4): near-boundary queries may
+    over-flag and pay a rerun (correct, just slower), and the un-flagged
+    results are the exact top-k of the RECOMPUTED metric (value-parity
+    ~1e-5 with the other routes; strict cross-route id equality at
+    ulp-level in-set near-ties is guaranteed by store mode only).
     """
     nq = luts.shape[0]
     m, n = Bt.shape
@@ -353,12 +365,21 @@ def _scan_topk_tournament(
             # f32 accumulation order than the matmul that produced tprime
             # (gather-and-sum vs lut_scan_block), so an ulp-level
             # divergence at the boundary could evade the flag. Pad the
-            # certificate with relative slack well above the measured
-            # cross-metric spread (matmul path <= ~1e-5 rel vs f64,
-            # BASELINE.md precision audit; m-term f32 sums ~1e-6) — a
-            # false flag only costs that query a lex-exact rerun.
-            scale = jnp.maximum(jnp.abs(d[:, k - 1]), jnp.abs(tprime))
-            at_bound = d[:, k - 1] >= tprime - 3e-5 * scale
+            # certificate with slack well above the measured cross-metric
+            # spread (matmul path <= ~1e-5 rel vs f64, BASELINE.md
+            # precision audit; m-term f32 sums ~1e-6) — a false flag only
+            # costs that query a lex-exact rerun. The error scale is the
+            # SUMMAND magnitude (m LUT entries + the extra term), NOT the
+            # possibly-cancelled distance: the additive surrogate
+            # -2 q.r + ||r||^2 can sit near zero while its summands are
+            # O(1e4), and a |d|-proportional slack would vanish exactly
+            # where the divergence does not (cf. tpu_smoke's qscale).
+            qscale = jnp.sum(jnp.max(jnp.abs(luts), axis=2), axis=1)
+            if extra is not None:
+                # +inf entries are padding/tombstones, not magnitudes.
+                qscale = qscale + jnp.max(
+                    jnp.where(jnp.isfinite(extra), jnp.abs(extra), 0.0))
+            at_bound = d[:, k - 1] >= tprime - 3e-5 * qscale
         tied = fin & ((d[:, k - 1] == d[:, k]) | at_bound)
         return KNNResult(d[:, :k], ids[:, :k]), tied
     return KNNResult(d, ids)

@@ -111,19 +111,24 @@ def quantize_norms(B: Array, C: Array, cbnorms: Array,
     HBM OOM when done whole. Fixed-size blocks (last one padded by
     repeating a row, so every chunk hits ONE compiled shape) bound it at
     ~1.8 GB while leaving small-n callers on the single-launch path.
+    Blocks are dispatched back-to-back and fetched ONCE (a host sync per
+    block would serialize compute against the ~35 ms RPC floor of a
+    tunneled backend); the chunked path returns host memory — every
+    caller consumes the codes on host anyway, so round-tripping the
+    concatenation through the device would be a pure upload tax.
     """
     n = B.shape[0]
     if n <= block:
         return _quantize_norms_block(B, C, cbnorms)
-    outs = []
+    B = jnp.asarray(B)
+    outs, valid = [], []
     for s in range(0, n, block):
         blk = B[s:s + block]
         npad = block - blk.shape[0]
         if npad:
             blk = jnp.concatenate(
-                [jnp.asarray(blk),
-                 jnp.broadcast_to(jnp.asarray(blk)[-1:],
-                                  (npad, blk.shape[1]))])
-        out = np.asarray(_quantize_norms_block(jnp.asarray(blk), C, cbnorms))
-        outs.append(out[: block - npad])
-    return jnp.asarray(np.concatenate(outs))
+                [blk, jnp.broadcast_to(blk[-1:], (npad, blk.shape[1]))])
+        outs.append(_quantize_norms_block(blk, C, cbnorms))
+        valid.append(block - npad)
+    outs = jax.device_get(outs)
+    return np.concatenate([o[:v] for o, v in zip(outs, valid)])

@@ -78,6 +78,12 @@ import _bootstrap  # noqa: F401,E402  (repo-root sys.path shim; see _bootstrap.p
 
 import numpy as np
 
+# Per-request query-row cap for binary frames: bounds the server-side
+# allocation (rows * d * 4 bytes; 512 MB at d=128) and rejects negative
+# counts, which would otherwise turn the exact-size read into a
+# read-to-EOF mutual deadlock with the waiting client.
+_MAX_BINARY_ROWS = 1 << 20
+
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
@@ -132,7 +138,7 @@ def main():
             return np.frombuffer(frame, "<f4").reshape(-1, idx.d)
         return np.asarray(req["vectors"], np.float32)
 
-    emit({"ready": True, "method": idx.method, "n": idx.n,
+    emit({"ready": True, "method": idx.method, "n": idx.n, "d": idx.d,
           "k": args.k,
           "ivf_nlist": idx.ivf.nlist if idx.ivf else None,
           "refine": idx.refine.kind if idx.refine else None})
@@ -151,10 +157,24 @@ def main():
             # Consume a declared binary frame IMMEDIATELY — before any op
             # validation can raise — so a bad request (unknown op, wrong
             # k, ...) never leaves unread payload desynchronizing the
-            # stream.
+            # stream. The count itself must be a sane non-negative int
+            # BEFORE any byte is read: a malformed count means the frame
+            # length is unknowable and the stream cannot be resynced, so
+            # that (unlike every later validation error) is fatal.
             frame = None
             if req.get("binary_vectors") is not None:
-                frame = read_exact(int(req["binary_vectors"]) * idx.d * 4)
+                nb = req["binary_vectors"]
+                if (not isinstance(nb, int) or isinstance(nb, bool)
+                        or not 0 <= nb <= _MAX_BINARY_ROWS):
+                    emit({"id": req.get("id"),
+                          "error": "ValueError: binary_vectors must be an "
+                                   f"int in [0, {_MAX_BINARY_ROWS}], got "
+                                   f"{nb!r}; frame length unknowable — "
+                                   "closing the stream"})
+                    print(f"serve.py: fatal binary_vectors={nb!r} "
+                          "(unknowable frame length)", file=sys.stderr)
+                    sys.exit(1)
+                frame = read_exact(nb * idx.d * 4)
             op = req.get("op", "query")
             if op == "delete":
                 ndel = idx.delete(req["ids"])
@@ -203,8 +223,12 @@ def main():
                         out["dists"] = np.asarray(res.dists).tolist()
             else:
                 raise ValueError(f"unknown op {op!r}")
-        except EOFError:
-            break  # truncated binary frame: the stream cannot resync
+        except EOFError as e:
+            # Truncated binary frame: the stream cannot resync. Exit
+            # loudly — a silent 0-exit here would be indistinguishable
+            # from a clean shutdown to the operator.
+            print(f"serve.py: fatal {e}", file=sys.stderr)
+            sys.exit(1)
         except Exception as e:  # malformed request must not kill the server
             rid = req.get("id") if isinstance(req, dict) else None
             out = {"id": rid, "error": f"{type(e).__name__}: {e}"}

@@ -574,7 +574,7 @@ def test_select_kernel_non_lane_aligned_h(rng):
         assert np.asarray(ii).max() < n
 
 
-def test_linscan_tournament_exactly_matches_streaming(rng):
+def test_linscan_tournament_exactly_matches_streaming(rng, monkeypatch):
     """The group-minima tournament is EXACT: identical distances to the
     streaming lax.top_k path, in both stash-the-tiles and O(1)-memory
     recompute modes."""
@@ -614,6 +614,48 @@ def test_linscan_tournament_exactly_matches_streaming(rng):
     oracle_d = np.sort(full, axis=1)[:, :k]
     np.testing.assert_allclose(np.asarray(two.dists), oracle_d,
                                rtol=1e-4, atol=1e-4)
+
+    # Certified recompute mode end-to-end (LSQ_TPU_TOPK_STORE=0 forces
+    # the O(1)-memory route through _run_scan): the cross-metric
+    # certificate's summand-magnitude slack (advisor r4 fix) must flag
+    # boundary ties without being poisoned by +inf tombstone entries in
+    # `extra` (an inf-scaled slack would flag EVERY query and rerun the
+    # whole batch), and the rerouted results must still match the
+    # streaming merge id-for-id.
+    monkeypatch.setenv("LSQ_TPU_TOPK_STORE", "0")
+    dbn_t = dbnorms.copy()
+    dbn_t[:7] = np.inf  # tombstones ride the extra term
+    ex_t = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn_t, k=k, query_chunk=8,
+                           base_block=1024)
+    rc_t = adc.linscan_lsq(B, Q, jnp.asarray(C), dbn_t, k=k, query_chunk=8,
+                           base_block=1024, topk_method="tournament")
+    np.testing.assert_array_equal(np.asarray(rc_t.ids), np.asarray(ex_t.ids))
+    assert not np.isin(np.arange(7), np.asarray(rc_t.ids)).any()
+    _, tied = adc._scan_topk_tournament(
+        luts, jnp.asarray(B.T), jnp.asarray(dbn_t), k, 1024,
+        store_dists=False, certify=True)
+    # h=8, m=3 gives only 512 distinct code rows over n=4096: every query
+    # boundary sits inside a genuine tie block, so flagging ALL is the
+    # CORRECT behavior here (and the id-parity assert above proves the
+    # rerun restores exactness).
+    assert bool(np.asarray(tied).all())
+    # Poisoning check needs distance-distinct data (h=32 -> 32k distinct
+    # rows): margins near the boundary are then orders of magnitude
+    # larger than the cross-metric slack, so an all-flagged result could
+    # only come from an inf-poisoned scale (the bug this guards).
+    h2 = 32
+    C2 = (rng.normal(size=(m, h2, d))).astype(np.float32)
+    B2 = rng.integers(0, h2, size=(n, m), dtype=np.int32)
+    recon2 = np.asarray(costs.reconstruct(jnp.asarray(B2), jnp.asarray(C2)))
+    dbn2 = np.sum(recon2 * recon2, axis=1).astype(np.float32)
+    dbn2[:7] = np.inf
+    luts2 = adc.lsq_query_luts(jnp.asarray(Q), jnp.asarray(C2))
+    _, tied2 = adc._scan_topk_tournament(
+        luts2, jnp.asarray(B2.T), jnp.asarray(dbn2), k, 1024,
+        store_dists=False, certify=True)
+    assert not bool(np.asarray(tied2).any()), (
+        "distinct-distance data flagged tied — the certificate slack "
+        "scale is poisoned (|inf| extra?)")
 
 
 @pytest.mark.parametrize("method",

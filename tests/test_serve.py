@@ -237,3 +237,46 @@ def test_serve_binary_frames(tmp_path, rng):
     finally:
         p.stdin.close()
         assert p.wait(timeout=60) == 0
+
+
+def test_serve_binary_frame_fatalities(tmp_path, rng):
+    """Malformed binary_vectors counts (negative / non-int / bool) make
+    the frame length unknowable: the server answers with an error and
+    exits NONZERO (a silent 0-exit would read as a clean shutdown), and
+    never blocks in a read-to-EOF deadlock. A truncated frame likewise
+    exits 1 with a diagnostic on stderr."""
+    idx = _build(tmp_path, "pq")
+
+    def spawn():
+        return subprocess.Popen(
+            [sys.executable, "scripts/serve.py", "--index", idx,
+             "--k", "5", "--platform", "cpu", "--no-warmup"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, cwd=REPO,
+        )
+
+    for bad in (-1, "3x", True, 10**9):
+        p = spawn()
+        try:
+            assert json.loads(p.stdout.readline())["ready"]
+            p.stdin.write(json.dumps(
+                {"id": 1, "binary_vectors": bad}).encode() + b"\n")
+            p.stdin.flush()
+            resp = json.loads(p.stdout.readline())
+            assert "error" in resp and "binary_vectors" in resp["error"]
+            p.stdin.close()
+            assert p.wait(timeout=60) == 1, bad
+        finally:
+            p.kill()
+
+    p = spawn()
+    try:
+        assert json.loads(p.stdout.readline())["ready"]
+        q = rng.normal(120, 30, size=(3, 16)).astype("<f4")
+        p.stdin.write(json.dumps(
+            {"id": 2, "binary_vectors": 4}).encode() + b"\n" + q.tobytes())
+        p.stdin.close()  # truncated: promised 4 rows, sent 3
+        assert p.wait(timeout=60) == 1
+        assert b"truncated" in p.stderr.read()
+    finally:
+        p.kill()
