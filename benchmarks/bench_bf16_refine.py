@@ -60,29 +60,38 @@ def main():
     ap.add_argument("--ntrain", type=int, default=100_000)
     ap.add_argument("--nq", type=int, default=8192)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--method", default="pq", choices=("pq", "lsq"),
+                    help="index family: pq (m=8) or the flagship additive "
+                         "lsq (m=7 + norm byte) — same 64-bit budget")
     ap.add_argument("--prep", action="store_true",
-                    help="CPU phase: build corpus + index + refine store")
+                    help="build corpus + index + refine store (CPU by "
+                         "default; pass --platform default to build on "
+                         "the process backend — the chip — for methods "
+                         "whose 1M encode needs it, e.g. lsq)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default="serving_refine_1m.json")
     args = ap.parse_args()
 
     import jax
 
-    if args.platform:
+    # --platform default = leave the process backend alone (under the
+    # axon runtime the TPU platform is not addressable by the name "tpu"
+    # in jax_platforms, so "run on the chip" means "don't touch it").
+    if args.platform and args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
-    if args.prep:
+    if args.prep and args.platform is None:
         jax.config.update("jax_platforms", "cpu")
 
     from local_search_quantization_tpu.index import Index
 
-    idx_dir = os.path.join(args.cache, f"idx_pq_{args.n}")
+    idx_dir = os.path.join(args.cache, f"idx_{args.method}_{args.n}")
     train, base, query, gt = _corpus(args.cache, args.n, args.ntrain,
                                      args.nq)
 
     if args.prep:
         t0 = time.time()
-        idx = Index.build(train, base, "pq", m=8, h=256, niter=10, seed=0,
-                          refine="sq8")
+        idx = Index.build(train, base, args.method, h=256, niter=10,
+                          seed=0, refine="sq8")
         idx.save(idx_dir)
         print(f"[prep] built + saved {idx_dir} in {time.time() - t0:.0f}s "
               f"(n={idx.n}, refine={idx.refine.kind})")
@@ -117,7 +126,8 @@ def main():
                 rows.append(row)
                 print(json.dumps(row), flush=True)
 
-    out = {"n": idx.n, "nq": args.nq, "method": "pq-m8-h256",
+    out = {"n": idx.n, "nq": args.nq,
+           "method": f"{args.method}-h256",
            "platform": platform, "trials": args.trials, "rows": rows,
            "note": "end-to-end Index.search incl. host fetch; true-NN "
                    "recall vs exact corpus gt"}
