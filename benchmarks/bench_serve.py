@@ -63,7 +63,7 @@ def _build_index(path: str, n: int, platform: str) -> None:
 
 
 def _direct_qps(index: str, nq: int, k: int, batch: int,
-                platform: str) -> float:
+                platform: str, precision: str = "f32") -> float:
     """Direct in-process Index.search qps, measured in THIS process."""
     import jax
 
@@ -73,15 +73,15 @@ def _direct_qps(index: str, nq: int, k: int, batch: int,
 
     idx = Index.load(index)
     Q = _queries(nq, idx.d)
-    idx.search(Q[:batch], k)  # warm: compile + device code upload
+    idx.search(Q[:batch], k, precision=precision)  # warm: compile + upload
     t0 = time.perf_counter()
     for s in range(0, nq, batch):
-        idx.search(Q[s:s + batch], k)
+        idx.search(Q[s:s + batch], k, precision=precision)
     return nq / (time.perf_counter() - t0)
 
 
 def _pump(proc, Q: np.ndarray, k: int, batch: int, mode: str,
-          trials: int = 3) -> float:
+          trials: int = 3, precision: str = "f32") -> float:
     """Request/response pump over the serve.py stdio protocol (write-all
     then read-all deadlocks on pipe buffers). Binary pipes throughout;
     JSON text is just bytes on them. Requests are PRE-SERIALIZED outside
@@ -95,6 +95,8 @@ def _pump(proc, Q: np.ndarray, k: int, batch: int, mode: str,
     for i, s in enumerate(range(0, nq, batch)):
         qb = Q[s:s + batch]
         hdr = {"id": i, "k": k}
+        if precision != "f32":
+            hdr["precision"] = precision
         payload = b""
         if mode.startswith("bin"):
             hdr["binary_vectors"] = int(qb.shape[0])
@@ -136,12 +138,15 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
     ap.add_argument("--index", default=None,
                     help="prebuilt index dir (built if absent)")
+    ap.add_argument("--precision", default="f32", choices=("f32", "bf16"),
+                    help="scan precision for BOTH the direct phase and "
+                         "every protocol request (the serving fast mode)")
     ap.add_argument("--_direct", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args._direct:
         qps = _direct_qps(args.index, args.nq, args.k, args.batch,
-                          args.platform)
+                          args.platform, args.precision)
         print(json.dumps({"direct_qps": qps}))
         return
 
@@ -160,7 +165,8 @@ def main():
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--_direct",
          "--index", index, "--nq", str(args.nq), "--k", str(args.k),
-         "--batch", str(args.batch), "--platform", args.platform],
+         "--batch", str(args.batch), "--platform", args.platform,
+         "--precision", args.precision],
         cwd=REPO, check=True, capture_output=True, text=True, timeout=3600,
     )
     direct_qps = json.loads(out.stdout.splitlines()[-1])["direct_qps"]
@@ -179,7 +185,8 @@ def main():
 
     rows = {}
     for mode in ("json", "json-ids", "bin", "bin-ids"):
-        rows[mode] = _pump(proc, Q, args.k, args.batch, mode)
+        rows[mode] = _pump(proc, Q, args.k, args.batch, mode,
+                           precision=args.precision)
     proc.stdin.write(b"EOF\n")
     proc.stdin.flush()
     proc.wait(timeout=60)
@@ -187,7 +194,8 @@ def main():
         td.cleanup()
 
     print(f"n={args.n} nq={args.nq} k={args.k} batch={args.batch} "
-          f"platform={args.platform} | direct {direct_qps:,.0f} qps")
+          f"platform={args.platform} precision={args.precision} | "
+          f"direct {direct_qps:,.0f} qps")
     for mode, qps in rows.items():
         print(f"  {mode:9s} {qps:,.0f} qps  "
               f"(overhead {100 * (direct_qps / qps - 1):.0f}%)")
