@@ -73,10 +73,12 @@ class Index:
                           else np.asarray(tomb, bool).copy())
         self._extra_buf = None  # pq/opq tombstone carrier, built lazily
         # Device-side scan cache bookkeeping: bumped on every mutation of
-        # the codes/extra term so _device_scan_state can reuse the
-        # uploaded transposed codes across searches (serving hot path).
+        # the codes/extra term so _device_scan_state (single-chip) and
+        # _mesh_scan_state (sharded) can reuse the uploaded codes across
+        # searches (serving hot path).
         self._scan_ver = 0
         self._scan_cache = None
+        self._mesh_scan_cache = None
         if self.additive:
             if bnorm is None:
                 raise ValueError(f"{method} needs bnorm norm codes")
@@ -565,6 +567,28 @@ class Index:
         self._scan_cache = (self._scan_ver, state)
         return state
 
+    def _mesh_scan_state(self, mesh):
+        """Cached pre-sharded device codes for the mesh serving route —
+        the multi-chip analog of _device_scan_state (a pod server
+        otherwise re-uploads + re-shards the whole store per request).
+        Keyed on the mutation counter AND the mesh object (a server
+        holds one mesh; a different mesh rebuilds)."""
+        if not _scan_cache_enabled(self.n):
+            return None
+        cached = self._mesh_scan_cache
+        if (cached is not None and cached[0] == self._scan_ver
+                and cached[1] is mesh):
+            return cached[2]
+        from local_search_quantization_tpu.parallel.query import (
+            prepare_sharded_codes,
+        )
+
+        extra = self._dbn if self.additive else self._extra
+        state = prepare_sharded_codes(
+            mesh, self.B.astype(np.int32, copy=False), extra)
+        self._mesh_scan_cache = (self._scan_ver, mesh, state)
+        return state
+
     def search(self, Q, k: int = 100, *, mesh=None,
                nprobe: int | None = None,
                refine: int | None = None,
@@ -639,15 +663,17 @@ class Index:
             from local_search_quantization_tpu.parallel import query as pq_mod
 
             B = self.B.astype(np.int32, copy=False)
+            dev_m = self._mesh_scan_state(mesh)
             if self.additive:
                 Qr = Q @ np.asarray(model.R, np.float32) \
                     if self.method == "chainq" else Q
                 return pq_mod.sharded_linscan_lsq(
-                    mesh, B, Qr, model.C, self._dbn, k, precision=precision)
+                    mesh, B, Qr, model.C, self._dbn, k, precision=precision,
+                    device_state=dev_m)
             R = model.R if self.method == "opq" else None
             return pq_mod.sharded_linscan_pq(
                 mesh, B, Q, model.C_sub, k, R=R, extra=self._extra,
-                precision=precision)
+                precision=precision, device_state=dev_m)
         dev = self._device_scan_state()
         if self.additive:
             R = np.asarray(model.R) if self.method == "chainq" else None

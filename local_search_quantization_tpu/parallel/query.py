@@ -224,6 +224,34 @@ def sharded_scan_topk(
     return merged
 
 
+def prepare_sharded_codes(mesh: Mesh, B, extra=None, *,
+                          block: int = 1 << 15, axis: str = DATA_AXIS):
+    """Pad + shard the code store ONCE for repeated mesh scans.
+
+    Returns an opaque `device_state` for the sharded_linscan_* drivers —
+    the transposed sharded codes and the (+inf-padded) extra term,
+    exactly as _sharded_linscan builds them per call. A pod server
+    re-querying the same base otherwise re-uploads and re-shards the
+    whole store every request (the same per-request tax the single-chip
+    route's adc.prepare_device_codes removes; Index.search(mesh=...)
+    caches this). Must be built with the same mesh/block/axis the scan
+    call uses."""
+    from local_search_quantization_tpu.parallel.mesh import shard_cols
+
+    B = np.asarray(B)
+    n = B.shape[0]
+    nshards = mesh.shape[axis]
+    pad = (-n) % (nshards * block)
+    extra = (np.zeros(n, np.float32) if extra is None
+             else np.asarray(extra, np.float32))
+    if pad:
+        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
+        extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
+    Bs = shard_cols(mesh, jnp.asarray(np.ascontiguousarray(B.T)), axis)
+    es = shard_cols(mesh, jnp.asarray(extra), axis)
+    return Bs, es
+
+
 def _sharded_linscan(
     mesh: Mesh,
     B,
@@ -238,6 +266,7 @@ def _sharded_linscan(
     method: str,
     axis: str,
     precision: str = "f32",
+    device_state=None,
 ) -> KNNResult:
     """Shared multi-chip linscan driver: pad + shard the codes, then
     dispatch ALL query chunks before fetching any (same queue-then-fetch
@@ -253,7 +282,7 @@ def _sharded_linscan(
     if precision not in ("f32", "bf16"):
         raise ValueError(f"precision must be 'f32' or 'bf16', got "
                          f"{precision!r}")
-    from local_search_quantization_tpu.parallel.mesh import replicated, shard_cols
+    from local_search_quantization_tpu.parallel.mesh import replicated
 
     B = np.asarray(B)
     Q = np.asarray(Q)
@@ -263,14 +292,18 @@ def _sharded_linscan(
         return KNNResult(np.empty((0, k), np.float32),
                          np.empty((0, k), np.int32))
     nshards = mesh.shape[axis]
-    pad = (-n) % (nshards * block)
-    extra = (np.zeros(n, np.float32) if extra is None
-             else np.asarray(extra, np.float32))
-    if pad:
-        B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
-        extra = np.concatenate([extra, np.full(pad, np.inf, np.float32)])
-    Bs = shard_cols(mesh, jnp.asarray(np.ascontiguousarray(B.T)), axis)
-    es = shard_cols(mesh, jnp.asarray(extra), axis)
+    if device_state is not None:
+        exp = n + ((-n) % (nshards * block))
+        if device_state[0].shape[1] != exp:
+            raise ValueError(
+                f"sharded device_state was prepared for a different "
+                f"base/mesh/block (codes dim {device_state[0].shape[1]}, "
+                f"expected {exp}) — rebuild with prepare_sharded_codes "
+                f"after any mutation")
+        Bs, es = device_state
+    else:
+        Bs, es = prepare_sharded_codes(mesh, B, extra, block=block,
+                                       axis=axis)
     Cr = replicated(mesh, jnp.asarray(C))
 
     results, valid, tie_work = [], [], []
@@ -338,20 +371,23 @@ def sharded_linscan_pq(
     method: str = "auto",
     axis: str = DATA_AXIS,
     precision: str = "f32",
+    device_state=None,
 ) -> KNNResult:
     """Multi-chip PQ/OPQ scanner: shard codes, replicate subspace LUTs.
 
     Pass R to rotate queries into code space first (OPQ). `extra` is an
     optional [n] additive distance term (e.g. +inf tombstones from
     Index.delete); it defaults to zeros. precision="bf16" is the rounded
-    hi-only serving mode (see _sharded_linscan).
+    hi-only serving mode (see _sharded_linscan). device_state: pre-
+    sharded codes from prepare_sharded_codes (mesh serving hot path).
     """
     Q = np.asarray(Q)
     if R is not None:
         Q = Q @ np.asarray(R)
     return _sharded_linscan(mesh, B, Q, C_sub, pq_query_luts, extra, k,
                             query_chunk=query_chunk, block=block,
-                            method=method, axis=axis, precision=precision)
+                            method=method, axis=axis, precision=precision,
+                            device_state=device_state)
 
 
 def sharded_linscan_lsq(
@@ -368,16 +404,19 @@ def sharded_linscan_lsq(
     method: str = "auto",
     axis: str = DATA_AXIS,
     precision: str = "f32",
+    device_state=None,
 ) -> KNNResult:
     """Multi-chip additive-code scanner (LSQ/ChainQ + quantized norms).
 
     Pass R to rotate queries into the code space first (ChainQ).
     precision="bf16" is the rounded hi-only serving mode (see
-    _sharded_linscan)."""
+    _sharded_linscan). device_state: pre-sharded codes from
+    prepare_sharded_codes (mesh serving hot path)."""
     Q = np.asarray(Q)
     if R is not None:
         Q = Q @ np.asarray(R)
     return _sharded_linscan(mesh, B, Q, C, lsq_query_luts,
                             np.asarray(db_norms, np.float32), k,
                             query_chunk=query_chunk, block=block,
-                            method=method, axis=axis, precision=precision)
+                            method=method, axis=axis, precision=precision,
+                            device_state=device_state)

@@ -382,3 +382,63 @@ def test_mesh_deep_k_widen_lex_parity(rng, mesh, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(multi.dists),
         np.take_along_axis(full, oracle_ids, axis=1), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_device_state_matches_fresh_upload(rng, mesh):
+    """prepare_sharded_codes + device_state (the mesh serving code
+    cache) must be result-identical to the per-call shard/upload, and a
+    state built for a different base must be rejected."""
+    from local_search_quantization_tpu.parallel.query import (
+        prepare_sharded_codes, sharded_linscan_lsq,
+    )
+
+    n, nq, d, m, h = 1000, 6, 8, 3, 8
+    C = (rng.normal(size=(m, h, d)) * 0.5).astype(np.float32)
+    B = rng.integers(0, h, size=(n, m), dtype=np.int32)
+    Q = rng.normal(size=(nq, d)).astype(np.float32)
+    recon = np.asarray(costs.reconstruct(jnp.asarray(B), jnp.asarray(C)))
+    dbn = np.sum(recon * recon, axis=1).astype(np.float32)
+    state = prepare_sharded_codes(mesh, B, dbn, block=64)
+    # padded to a (nshards * block) multiple, +inf pads
+    assert state[0].shape[1] % (8 * 64) == 0
+    fresh = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, 10,
+                                query_chunk=8, block=64)
+    cached = sharded_linscan_lsq(mesh, B, Q, jnp.asarray(C), dbn, 10,
+                                 query_chunk=8, block=64,
+                                 device_state=state)
+    np.testing.assert_array_equal(np.asarray(cached.ids),
+                                  np.asarray(fresh.ids))
+    np.testing.assert_array_equal(np.asarray(cached.dists),
+                                  np.asarray(fresh.dists))
+    with pytest.raises(ValueError, match="device_state"):
+        sharded_linscan_lsq(mesh, B[:400], Q, jnp.asarray(C), dbn[:400],
+                            10, query_chunk=8, block=64,
+                            device_state=state)
+
+
+def test_index_mesh_scan_cache_lifecycle(rng, mesh, monkeypatch):
+    """Index.search(mesh=...) reuses pre-sharded codes across calls and
+    invalidates on mutation — the pod-serving analog of the single-chip
+    device cache (gate stubbed on for the CPU-mesh suite)."""
+    import local_search_quantization_tpu.index as index_mod
+    from local_search_quantization_tpu.index import Index
+    from local_search_quantization_tpu.utils.synth import synthetic_dataset
+
+    data = synthetic_dataset(7, d=16, n_train=400, n_base=1200, n_query=8)
+    idx = Index.build(data.train, data.base, "pq", m=2, h=16, niter=2,
+                      seed=0)
+    base = idx.search(data.query, k=10, mesh=mesh)
+
+    monkeypatch.setattr(index_mod, "_scan_cache_enabled", lambda n: True)
+    res1 = idx.search(data.query, k=10, mesh=mesh)
+    assert idx._mesh_scan_cache is not None
+    ver0 = idx._mesh_scan_cache[0]
+    np.testing.assert_array_equal(np.asarray(res1.ids), np.asarray(base.ids))
+    idx.search(data.query, k=10, mesh=mesh)
+    assert idx._mesh_scan_cache[0] == ver0  # reused while unmutated
+
+    victim = int(res1.ids[0, 0])
+    idx.delete([victim])
+    res2 = idx.search(data.query, k=10, mesh=mesh)
+    assert idx._mesh_scan_cache[0] != ver0
+    assert victim not in np.asarray(res2.ids)[0]
