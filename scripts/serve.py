@@ -102,6 +102,13 @@ def main():
                          "fast mode (request may override; exhaustive "
                          "scans only — rejected with nprobe)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="serve over an N-device data mesh "
+                         "(Index.search(mesh=...): per-shard select + "
+                         "all-gather merge, pre-sharded codes cached "
+                         "across requests); 0 = single-device. "
+                         "Exhaustive scans only — nprobe requests are "
+                         "answered as errors in mesh mode.")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the compile-triggering dummy batch")
     args = ap.parse_args()
@@ -112,9 +119,25 @@ def main():
 
     from local_search_quantization_tpu.index import Index
 
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from local_search_quantization_tpu.parallel.mesh import data_mesh
+
+        devs = jax.devices()[: args.mesh]
+        if len(devs) < args.mesh:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {args.mesh} devices, have "
+                f"{len(devs)} (provision with XLA_FLAGS="
+                f"--xla_force_host_platform_device_count=N for virtual "
+                f"CPU meshes)")
+        mesh = data_mesh(devs)
+
     idx = Index.load(args.index)
     if not args.no_warmup:
-        idx.search(np.zeros((1, idx.d), np.float32), min(args.k, idx.n))
+        idx.search(np.zeros((1, idx.d), np.float32), min(args.k, idx.n),
+                   mesh=mesh)
 
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer
@@ -193,6 +216,7 @@ def main():
             elif op == "query":
                 res = idx.search(parse_vectors(req, frame),
                                  int(req.get("k", args.k)),
+                                 mesh=mesh,
                                  nprobe=int(req.get("nprobe", args.nprobe))
                                  or None,
                                  refine=int(req.get("refine", args.refine))

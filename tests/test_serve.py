@@ -280,3 +280,59 @@ def test_serve_binary_frame_fatalities(tmp_path, rng):
         assert b"truncated" in p.stderr.read()
     finally:
         p.kill()
+
+
+def test_serve_mesh_mode(tmp_path, rng):
+    """serve.py --mesh N answers through the sharded-mesh route
+    (virtual 8-CPU mesh in the subprocess) with id parity against the
+    single-device server, and mutations take effect on the very next
+    mesh query (on TPU the pre-sharded code cache must invalidate;
+    the cache lifecycle itself is pinned by
+    test_index_mesh_scan_cache_lifecycle with the gate stubbed)."""
+    idx = _build(tmp_path, "pq")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+
+    def ask(proc, rid, vecs, k=5):
+        proc.stdin.write((json.dumps(
+            {"id": rid, "vectors": vecs.tolist(), "k": k}) + "\n"))
+        proc.stdin.flush()
+        return json.loads(proc.stdout.readline())
+
+    q = rng.normal(120, 30, size=(3, 16)).astype(np.float32)
+    p1 = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--index", idx, "--k", "5",
+         "--platform", "cpu"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=REPO)
+    p8 = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--index", idx, "--k", "5",
+         "--platform", "cpu", "--mesh", "8"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=REPO,
+        env=env)
+    try:
+        assert json.loads(p1.stdout.readline())["ready"]
+        assert json.loads(p8.stdout.readline())["ready"]
+        r1 = ask(p1, 1, q)
+        r8 = ask(p8, 1, q)
+        np.testing.assert_array_equal(np.asarray(r8["ids"]),
+                                      np.asarray(r1["ids"]))
+        # Second query reuses the pre-sharded cache; same answer.
+        r8b = ask(p8, 2, q)
+        np.testing.assert_array_equal(np.asarray(r8b["ids"]),
+                                      np.asarray(r8["ids"]))
+        # Mutation invalidates: the deleted row must vanish immediately.
+        victim = int(r8["ids"][0][0])
+        p8.stdin.write(json.dumps({"op": "delete", "id": 3,
+                                   "ids": [victim]}) + "\n")
+        p8.stdin.flush()
+        assert json.loads(p8.stdout.readline())["deleted"] == 1
+        r8c = ask(p8, 4, q)
+        assert victim not in np.asarray(r8c["ids"]).ravel()
+        for p in (p1, p8):
+            p.stdin.write("EOF\n")
+            p.stdin.flush()
+    finally:
+        for p in (p1, p8):
+            p.stdin.close()
+            assert p.wait(timeout=120) == 0
