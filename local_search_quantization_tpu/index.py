@@ -572,8 +572,17 @@ class Index:
         the multi-chip analog of _device_scan_state (a pod server
         otherwise re-uploads + re-shards the whole store per request).
         Keyed on the mutation counter AND the mesh object (a server
-        holds one mesh; a different mesh rebuilds)."""
-        if not _scan_cache_enabled(self.n):
+        holds one mesh; a different mesh rebuilds).
+
+        Unlike the single-chip gate, this one is backend-agnostic: the
+        mesh route always pays the per-call transpose + pad + device_put
+        regardless of platform (there is no native-scanner alternative
+        under a mesh — virtual CPU meshes included), and the streaming
+        bound applies PER SHARD, not to the whole store."""
+        from local_search_quantization_tpu.parallel.mesh import DATA_AXIS
+
+        nshards = mesh.shape.get(DATA_AXIS, 1)
+        if self.n > nshards * (1 << 26):
             return None
         cached = self._mesh_scan_cache
         if (cached is not None and cached[0] == self._scan_ver

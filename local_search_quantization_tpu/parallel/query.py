@@ -235,7 +235,13 @@ def prepare_sharded_codes(mesh: Mesh, B, extra=None, *,
     whole store every request (the same per-request tax the single-chip
     route's adc.prepare_device_codes removes; Index.search(mesh=...)
     caches this). Must be built with the same mesh/block/axis the scan
-    call uses."""
+    call uses.
+
+    Staleness: the drivers validate only the padded SIZE of a passed
+    state — a size-preserving mutation (e.g. tombstoning via the extra
+    term) passes validation and serves stale results. Direct callers
+    own the rebuild-after-any-mutation discipline; Index.search is safe
+    via its private mutation counter."""
     from local_search_quantization_tpu.parallel.mesh import shard_cols
 
     B = np.asarray(B)

@@ -120,7 +120,16 @@ def main():
     from local_search_quantization_tpu.index import Index
 
     mesh = None
+    if args.mesh < 0:
+        raise SystemExit(f"--mesh must be >= 0, got {args.mesh}")
     if args.mesh:
+        if args.nprobe:
+            # Fail fast: every default query would otherwise answer as
+            # an error after a healthy-looking "ready" line (IVF is a
+            # host serving path; mesh sharding is exhaustive-only).
+            raise SystemExit("--mesh and a nonzero --nprobe default are "
+                             "incompatible (per-request nprobe still "
+                             "answers as an error in mesh mode)")
         import jax
 
         from local_search_quantization_tpu.parallel.mesh import data_mesh
@@ -136,8 +145,11 @@ def main():
 
     idx = Index.load(args.index)
     if not args.no_warmup:
+        # Warm with the server's DEFAULT precision: a bf16 server must
+        # compile the hi-only program before "ready", not on the first
+        # request (~1-15 min per distinct jitted shape on this backend).
         idx.search(np.zeros((1, idx.d), np.float32), min(args.k, idx.n),
-                   mesh=mesh)
+                   mesh=mesh, precision=args.precision)
 
     stdin = sys.stdin.buffer
     stdout = sys.stdout.buffer

@@ -332,7 +332,10 @@ def test_serve_mesh_mode(tmp_path, rng):
         for p in (p1, p8):
             p.stdin.write("EOF\n")
             p.stdin.flush()
-    finally:
-        for p in (p1, p8):
             p.stdin.close()
             assert p.wait(timeout=120) == 0
+    finally:
+        # kill() (not a bare wait) so a mid-body failure can't hang the
+        # test on a blocked server and mask the real assertion error.
+        for p in (p1, p8):
+            p.kill()
