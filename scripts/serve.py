@@ -181,9 +181,11 @@ def main():
     while True:
         raw = stdin.readline()
         if not raw:
-            break
+            break  # stream EOF
         line = raw.decode("utf-8", "replace").strip()
-        if not line or line == "EOF":
+        if not line:
+            continue  # stray blank line: ignore, don't shut down
+        if line == "EOF":
             break
         req = None  # never attribute errors to the previous request's id
         blocks = ()

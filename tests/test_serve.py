@@ -339,3 +339,78 @@ def test_serve_mesh_mode(tmp_path, rng):
         # test on a blocked server and mask the real assertion error.
         for p in (p1, p8):
             p.kill()
+
+
+def test_serve_protocol_fuzz(tmp_path, rng):
+    """Protocol robustness: a long stream of malformed / hostile / valid
+    requests must each elicit exactly one well-formed JSON response (a
+    result or an error) and must never kill the server — the only
+    documented fatal paths are unknowable binary-frame lengths and
+    truncated frames, excluded here (covered by
+    test_serve_binary_frame_fatalities). Blank lines are ignored, not
+    treated as shutdown."""
+    import random
+
+    idx = _build(tmp_path, "pq")
+    p = subprocess.Popen(
+        [sys.executable, "scripts/serve.py", "--index", idx, "--k", "5",
+         "--platform", "cpu"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, cwd=REPO)
+    try:
+        assert json.loads(p.stdout.readline())["ready"]
+        rnd = random.Random(0)
+        q = rng.normal(120, 30, size=(2, 16)).astype(np.float32)
+        junk_lines = ['{"k":', "nonsense", "[1, 2, 3]", '"a string"',
+                      "123", "{}", "null", "true",
+                      '{"op": "query"}', '{"op": 5, "vectors": []}']
+        hostile_reqs = [
+            {"vectors": q.tolist(), "k": -5},
+            {"vectors": q.tolist(), "k": 0},
+            {"vectors": q.tolist(), "k": 10**9},
+            {"vectors": [[1.0, 2.0]]},          # wrong d
+            {"vectors": "not-a-matrix"},
+            {"vectors": [["x"] * 16]},
+            {"vectors": q.tolist(), "nprobe": 4},   # no IVF partition
+            {"vectors": q.tolist(), "refine": 4},   # no refine store
+            {"vectors": q.tolist(), "precision": "int8"},
+            {"op": "frobnicate", "vectors": q.tolist()},
+            {"op": "delete", "ids": [-1]},
+            {"op": "delete", "ids": "nope"},
+            {"op": "add", "vectors": [[1.0]]},
+            {"op": "compact"},
+        ]
+        n_sent = 0
+        ok_queries = 0
+        for i in range(150):
+            roll = rnd.random()
+            if roll < 0.1:
+                p.stdin.write("\n")  # blank: ignored, no response
+                p.stdin.flush()
+                continue
+            if roll < 0.35:
+                line = rnd.choice(junk_lines)
+            elif roll < 0.75:
+                line = json.dumps({"id": i, **rnd.choice(hostile_reqs)})
+            else:
+                line = json.dumps({"id": i, "vectors": q.tolist(),
+                                   "k": rnd.choice([1, 3, 5])})
+            p.stdin.write(line + "\n")
+            p.stdin.flush()
+            resp = json.loads(p.stdout.readline())  # exactly one line each
+            n_sent += 1
+            assert isinstance(resp, dict)
+            if "error" not in resp and "ids" in resp:
+                ok_queries += 1
+        assert n_sent > 100 and ok_queries > 10
+        # Still healthy after the hostile stream: one clean query.
+        p.stdin.write(json.dumps({"id": "final",
+                                  "vectors": q.tolist()}) + "\n")
+        p.stdin.flush()
+        final = json.loads(p.stdout.readline())
+        assert final["id"] == "final" and "ids" in final, final
+        p.stdin.write("EOF\n")
+        p.stdin.flush()
+        p.stdin.close()
+        assert p.wait(timeout=60) == 0
+    finally:
+        p.kill()
