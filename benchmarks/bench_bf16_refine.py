@@ -111,12 +111,17 @@ def main():
                 kw = dict(k=k, precision=precision,
                           refine=refine or None)
                 res = idx.search(Q, **kw)  # warm: compile + code upload
+                ids = np.asarray(res.ids)  # recall from the UNROLLED set
                 best = float("inf")
-                for _ in range(args.trials):
+                for t in range(args.trials):
+                    # Distinct query bytes per trial: identical repeated
+                    # dispatches may be served from a remote cache on
+                    # this backend (CLAUDE.md). A row roll preserves the
+                    # distribution and shapes, so qps is comparable.
+                    Qv = np.roll(Q, t + 1, axis=0)
                     t0 = time.perf_counter()
-                    res = idx.search(Q, **kw)
+                    idx.search(Qv, **kw)
                     best = min(best, time.perf_counter() - t0)
-                ids = np.asarray(res.ids)
                 hit = ids == gt[:, None]
                 r1 = float(hit[:, :1].any(axis=1).mean())
                 r10 = float(hit[:, :min(10, k)].any(axis=1).mean())

@@ -416,6 +416,11 @@ def prepare_device_codes(B, extra=None, *, base_block: int = 1 << 16):
     so they have no analogous cost to amortize).
 
     Must be built with the same `base_block` the scan call uses.
+
+    Layout: device codes are TRANSPOSED [m, n] — the natural [n, m]
+    layout is lane-padded m -> 128 on TPU HBM (s32[64M, 7] allocates
+    34 GB, an 18x capacity tax); [m, n] pads only the sublanes. Padded
+    rows get +inf extra so they can never win a scan.
     """
     B = np.asarray(B)
     n = B.shape[0]
@@ -613,28 +618,9 @@ def _run_scan(
         # skips the per-call pad + H2D transfer entirely.
         Bj, extraj = device_state
     else:
-        pad = (-n) % base_block
-        if pad:
-            B = np.concatenate([B, np.zeros((pad, B.shape[1]), B.dtype)])
-            extra_p = (
-                np.concatenate([np.asarray(extra),
-                                np.full(pad, np.inf, np.float32)])
-                if extra is not None
-                else None
-            )
-        else:
-            extra_p = np.asarray(extra) if extra is not None else None
-        if extra_p is None and pad:
-            # Padded rows must never win: give them +inf via the extra
-            # term.
-            extra_p = np.concatenate(
-                [np.zeros(n, np.float32), np.full(pad, np.inf, np.float32)]
-            )
-        # Device codes are TRANSPOSED [m, n]: the natural [n, m] layout is
-        # lane-padded m -> 128 on TPU HBM (s32[64M, 7] allocates 34 GB), an
-        # 18x capacity tax; [m, n] pads only the sublanes (7 -> 8).
-        Bj = jnp.asarray(np.ascontiguousarray(B.T))
-        extraj = jnp.asarray(extra_p) if extra_p is not None else None
+        # Same pad/transpose/upload contract as the cached path — ONE
+        # implementation, so the two can never drift apart.
+        Bj, extraj = prepare_device_codes(B, extra, base_block=base_block)
 
     if topk_method == "kernel":
         # Fused Pallas scan+select: the whole query set in one launch

@@ -74,10 +74,11 @@ def sharded_scan_topk(
     the bulk fetch.
 
     precision="bf16" is the serving fast mode (ops/select_pallas.
-    fused_scan_topk): the LUTs are rounded to bf16 HERE (idempotent —
-    the chunked driver _sharded_linscan already rounds once), so BOTH
-    the kernel route (which scans hi-only) and the streaming "scan"
-    route see the same rounded metric even when this function is called
+    fused_scan_topk): the LUTs are rounded to bf16 HERE — the single
+    barrier site for the mesh path (the chunked _sharded_linscan driver
+    and its tie reruns all pass through this boundary) — so BOTH the
+    kernel route (which scans hi-only) and the streaming "scan" route
+    see the same rounded metric even when this function is called
     directly. The widen/tie certificate and the grouped rerun stay in
     the same rounded metric, so the lex contract is preserved in this
     mode too.
@@ -280,11 +281,12 @@ def _sharded_linscan(
     each shard scan against the ~35 ms dispatch+fetch RPC of a tunneled
     backend; queued results are small, [query_chunk, k] x2 per chunk).
 
-    precision="bf16": the LUTs are rounded ONCE here at the driver —
-    exactly where ops/adc._run_scan rounds for the single-chip routes —
-    so the kernel and streaming shard scans, the tie certificate, and
-    the grouped rerun all live in one consistent rounded metric, and the
-    mesh route's ids match the single-chip bf16 route id-for-id."""
+    precision="bf16": the rounding happens at sharded_scan_topk's
+    boundary (which both the chunk scans and the tie reruns pass
+    through), so the kernel and streaming shard scans, the tie
+    certificate, and the grouped rerun all live in one consistent
+    rounded metric, and the mesh route's ids match the single-chip bf16
+    route id-for-id."""
     if precision not in ("f32", "bf16"):
         raise ValueError(f"precision must be 'f32' or 'bf16', got "
                          f"{precision!r}")
@@ -319,14 +321,9 @@ def _sharded_linscan(
         if npad:
             qc = np.concatenate([qc, np.broadcast_to(qc[-1:], (npad, qc.shape[1]))])
         luts = luts_fn(replicated(mesh, jnp.asarray(qc)), Cr)
-        if precision == "bf16":
-            from local_search_quantization_tpu.ops.select_pallas import (
-                round_bf16,
-            )
-
-            # round_bf16's barrier stops XLA's excess-precision pass from
-            # silently un-rounding the cast on TPU (see its docstring).
-            luts = round_bf16(luts).astype(jnp.float32)
+        # bf16 rounding now lives at sharded_scan_topk's boundary (both
+        # the chunk scan below and the tie rerun pass through it), so
+        # the driver no longer rounds — one barrier site per chunk.
         res, tied = sharded_scan_topk(mesh, luts, Bs, es, k, block=block,
                                       method=method, axis=axis, deferred=True,
                                       precision=precision)

@@ -78,11 +78,12 @@ import _bootstrap  # noqa: F401,E402  (repo-root sys.path shim; see _bootstrap.p
 
 import numpy as np
 
-# Per-request query-row cap for binary frames: bounds the server-side
-# allocation (rows * d * 4 bytes; 512 MB at d=128) and rejects negative
-# counts, which would otherwise turn the exact-size read into a
-# read-to-EOF mutual deadlock with the waiting client.
-_MAX_BINARY_ROWS = 1 << 20
+# Per-request payload cap for binary frames (bytes, so a fat-d index
+# doesn't admit multi-GB requests): over-cap but well-formed requests
+# have their frame drained and are answered as errors; only negative /
+# non-int counts (unknowable frame length, which would otherwise turn
+# the exact-size read into a read-to-EOF mutual deadlock) are fatal.
+_MAX_BINARY_BYTES = 512 << 20
 
 
 def main():
@@ -194,24 +195,41 @@ def main():
             # Consume a declared binary frame IMMEDIATELY — before any op
             # validation can raise — so a bad request (unknown op, wrong
             # k, ...) never leaves unread payload desynchronizing the
-            # stream. The count itself must be a sane non-negative int
-            # BEFORE any byte is read: a malformed count means the frame
-            # length is unknowable and the stream cannot be resynced, so
-            # that (unlike every later validation error) is fatal.
+            # stream. Only a NON-INT or NEGATIVE count is fatal (the
+            # frame length is then unknowable and the stream cannot be
+            # resynced); an over-cap but well-formed count has a
+            # computable length, so its frame is DRAINED in bounded
+            # chunks and the request answered as an error — one buggy
+            # client must not take the server down. nb == 0 is rejected
+            # too (an [0, d] batch is a fresh jitted shape on TPU — a
+            # multi-minute remote-compile stall — and means nothing).
             frame = None
             if req.get("binary_vectors") is not None:
                 nb = req["binary_vectors"]
                 if (not isinstance(nb, int) or isinstance(nb, bool)
-                        or not 0 <= nb <= _MAX_BINARY_ROWS):
+                        or nb < 0):
                     emit({"id": req.get("id"),
-                          "error": "ValueError: binary_vectors must be an "
-                                   f"int in [0, {_MAX_BINARY_ROWS}], got "
-                                   f"{nb!r}; frame length unknowable — "
-                                   "closing the stream"})
+                          "error": "ValueError: binary_vectors must be a "
+                                   f"non-negative int, got {nb!r}; frame "
+                                   "length unknowable — closing the "
+                                   "stream"})
                     print(f"serve.py: fatal binary_vectors={nb!r} "
                           "(unknowable frame length)", file=sys.stderr)
                     sys.exit(1)
-                frame = read_exact(nb * idx.d * 4)
+                nbytes = nb * idx.d * 4
+                if nb == 0 or nbytes > _MAX_BINARY_BYTES:
+                    while nbytes > 0:  # drain: length IS computable
+                        chunk = stdin.read(min(nbytes, 1 << 24))
+                        if not chunk:
+                            raise EOFError(
+                                f"binary payload truncated while "
+                                f"draining ({nbytes} bytes short)")
+                        nbytes -= len(chunk)
+                    raise ValueError(
+                        f"binary_vectors={nb} out of range (1 to "
+                        f"{_MAX_BINARY_BYTES // (idx.d * 4)} rows at "
+                        f"d={idx.d}; {_MAX_BINARY_BYTES >> 20} MB cap)")
+                frame = read_exact(nbytes)
             op = req.get("op", "query")
             if op == "delete":
                 ndel = idx.delete(req["ids"])

@@ -416,11 +416,12 @@ def test_sharded_device_state_matches_fresh_upload(rng, mesh):
                             device_state=state)
 
 
-def test_index_mesh_scan_cache_lifecycle(rng, mesh, monkeypatch):
+def test_index_mesh_scan_cache_lifecycle(rng, mesh):
     """Index.search(mesh=...) reuses pre-sharded codes across calls and
     invalidates on mutation — the pod-serving analog of the single-chip
-    device cache (gate stubbed on for the CPU-mesh suite)."""
-    import local_search_quantization_tpu.index as index_mod
+    device cache. The mesh cache is backend-agnostic (no gate stub
+    needed: there is no native-scanner alternative under a mesh), so
+    this exercises the LIVE cache on the CPU-mesh suite."""
     from local_search_quantization_tpu.index import Index
     from local_search_quantization_tpu.utils.synth import synthetic_dataset
 
@@ -429,7 +430,6 @@ def test_index_mesh_scan_cache_lifecycle(rng, mesh, monkeypatch):
                       seed=0)
     base = idx.search(data.query, k=10, mesh=mesh)
 
-    monkeypatch.setattr(index_mod, "_scan_cache_enabled", lambda n: True)
     res1 = idx.search(data.query, k=10, mesh=mesh)
     assert idx._mesh_scan_cache is not None
     ver0 = idx._mesh_scan_cache[0]

@@ -255,7 +255,7 @@ def test_serve_binary_frame_fatalities(tmp_path, rng):
             stderr=subprocess.PIPE, cwd=REPO,
         )
 
-    for bad in (-1, "3x", True, 10**9):
+    for bad in (-1, "3x", True):
         p = spawn()
         try:
             assert json.loads(p.stdout.readline())["ready"]
@@ -268,6 +268,45 @@ def test_serve_binary_frame_fatalities(tmp_path, rng):
             assert p.wait(timeout=60) == 1, bad
         finally:
             p.kill()
+
+    # Over-cap but WELL-FORMED count: the frame length is computable, so
+    # the server drains rather than dying — here the client closes
+    # mid-drain, which is a truncation (exit 1, diagnosed), but a
+    # cooperating client would get an error response and keep its
+    # server. nb == 0 is the in-band-rejected case: error response, the
+    # server LIVES and answers the next request.
+    p = spawn()
+    try:
+        assert json.loads(p.stdout.readline())["ready"]
+        p.stdin.write(json.dumps(
+            {"id": 1, "binary_vectors": 10**9}).encode() + b"\n" + b"x" * 64)
+        p.stdin.close()
+        assert p.wait(timeout=60) == 1
+        assert b"draining" in p.stderr.read()
+    finally:
+        p.kill()
+
+    p = spawn()
+    try:
+        assert json.loads(p.stdout.readline())["ready"]
+        p.stdin.write(json.dumps(
+            {"id": 1, "binary_vectors": 0}).encode() + b"\n")
+        p.stdin.flush()
+        resp = json.loads(p.stdout.readline())
+        assert "error" in resp and "out of range" in resp["error"]
+        q0 = rng.normal(120, 30, size=(1, 16)).astype("<f4")
+        p.stdin.write(json.dumps(
+            {"id": 2, "binary_vectors": 1, "k": 3}).encode() + b"\n"
+            + q0.tobytes())
+        p.stdin.flush()
+        r2 = json.loads(p.stdout.readline())
+        assert "error" not in r2 and np.shape(r2["ids"]) == (1, 3)
+        p.stdin.write(b"EOF\n")
+        p.stdin.flush()
+        p.stdin.close()
+        assert p.wait(timeout=60) == 0
+    finally:
+        p.kill()
 
     p = spawn()
     try:
@@ -286,9 +325,9 @@ def test_serve_mesh_mode(tmp_path, rng):
     """serve.py --mesh N answers through the sharded-mesh route
     (virtual 8-CPU mesh in the subprocess) with id parity against the
     single-device server, and mutations take effect on the very next
-    mesh query (on TPU the pre-sharded code cache must invalidate;
-    the cache lifecycle itself is pinned by
-    test_index_mesh_scan_cache_lifecycle with the gate stubbed)."""
+    mesh query (the pre-sharded code cache, live on every backend,
+    must invalidate; the lifecycle is pinned by
+    test_index_mesh_scan_cache_lifecycle)."""
     idx = _build(tmp_path, "pq")
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
